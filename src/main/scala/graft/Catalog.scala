@@ -1,0 +1,14 @@
+package graft
+
+/** Registry of every implemented operator (SURVEY.md §2). Families add
+  * themselves here; SparkEntry derives queries/oracleSql from this. */
+object Catalog {
+  val all: Seq[Q] =
+    queries.Relational.qs
+
+  def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading + the query-catalog plumbing shared by every family.
+  *
+  * A `Q` is one operator from SURVEY.md §2: a Spark implementation plus
+  * (when ANSI-SQL-expressible) a DuckDB oracle over the same parquet
+  * tables. Determinism contract (SURVEY §6): money/measure aggregates go
+  * through exact DECIMAL sums then one cast to double; ranked outputs
+  * break ties by id; no engine-specific hash functions in any oracle'd
+  * query (portable MD5 ordering instead).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
+    * a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
+    * Normalize to a microsecond TIMESTAMP (`ts div 1000` — exact long
+    * floor-division; doubles would lose precision at 1e18). DuckDB's
+    * `ts::TIMESTAMP` truncates ns→us the same way. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** One shared SparkSession config for mains/specs: local[N], AQE on,
+    * shuffle partitions sized to cores (not 200) — SURVEY §5. */
+  def session(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

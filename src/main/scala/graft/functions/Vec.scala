@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector algebra as Catalyst higher-order functions — no UDFs, fully
+  * codegen-eligible, and bit-for-bit reproducible in the DuckDB oracle.
+  *
+  * Determinism contract: every reduction is a LEFT FOLD in element
+  * order over doubles (`aggregate(zip_with(...))`), mirrored in the
+  * oracle by `list_reduce(list_transform(...))`. IEEE double addition
+  * applied in the same order on the same values gives identical bits in
+  * both engines, so downstream top-k ranks agree exactly.
+  *
+  * Reference semantics: l2/cosine/inner-product distance & batch forms,
+  * /root/reference/hnsw_cosine_status_high.py:26-45 and
+  * /root/reference/roargraph_python.py:99-127.
+  */
+object Vec {
+
+  /** Cast array<float> → array<double> (exact) so all math is in f64. */
+  def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Left-fold sum of an array<double> column, seed 0.0. */
+  def fsum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x * y))
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  def l2sq(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  def l2(a: Column, b: Column): Column = sqrt(l2sq(a, b))
+
+  /** Cosine similarity, written exactly as dot/sqrt(n2a*n2b) — the
+    * oracle must use the same association. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Inner-product "distance" as the reference uses for MIPS ranking
+    * (larger = closer): roargraph_python.py:106-116 negates; we rank
+    * descending instead. */
+  def ip(a: Column, b: Column): Column = dot(a, b)
+
+  /** L2-normalize: divide each element by the vector norm. `norm` must
+    * be precomputed in a prior projection to avoid re-evaluating the
+    * fold per element. */
+  def normalized(a: Column, norm: Column): Column =
+    transform(a, x => x / norm)
+
+  // ---- DuckDB oracle fragments (same fold order) ----
+
+  /** DuckDB SQL for the left-fold dot product of two DOUBLE[] exprs. */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+
+  def sqlNorm2(a: String): String = sqlDot(a, a)
+
+  def sqlL2sq(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / sqrt(${sqlNorm2(a)} * ${sqlNorm2(b)}))"
+}
