@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.functions.Vec
+import graft.operators.TopK
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Family A (SURVEY §2A): the reference's vector-search surface as
+  * batch DataFrame operators over the `embeddings` table.
+  *
+  * Query/base split: `vec_id % 50 == 0` rows act as the query
+  * (out-of-distribution / training-query) set, mirroring the
+  * reference's base vs sampled-query files (README_RoarGraph.md:18-23).
+  *
+  * Scale notes (SURVEY §5): the query side of every similarity join is
+  * broadcast; per-query top-k pools are map-side partial aggregates
+  * (TopKAgg), so nothing ever shuffles O(B·Q) rows.
+  */
+object VectorQs {
+
+  private val K = 10
+
+  // ---- Spark-side shared builders ----
+
+  private def qSide(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), Vec.asD(col("embedding")).as("qv"))
+
+  private def bSide(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("bid"), Vec.asD(col("embedding")).as("bv"))
+
+  /** Brute-force scored pairs, queries broadcast. */
+  private def scored(s: SparkSession, dir: String, metric: String): DataFrame = {
+    val sc = metric match {
+      case "cosine" => Vec.cosine(col("qv"), col("bv"))
+      case "l2"     => Vec.l2(col("qv"), col("bv"))
+      case "ip"     => Vec.ip(col("qv"), col("bv"))
+    }
+    bSide(s, dir).crossJoin(broadcast(qSide(s, dir)))
+      .select(col("qid"), col("bid"), sc.as("score"))
+  }
+
+  def gtTopk(s: SparkSession, dir: String, metric: String): DataFrame =
+    TopK.perGroup(scored(s, dir, metric), "qid", "bid", "score",
+        K, asc = metric == "l2")
+      .orderBy(col("qid"), col("rnk"))
+
+  /** Exact kNN self-graph (k=5, L2): reference build_learn_base_knn
+    * (roargraph_python.py:155-162) generalized to the base set. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id").as("src"), Vec.asD(col("embedding")).as("av"))
+    val b = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id").as("dst"), Vec.asD(col("embedding")).as("bv"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Vec.l2(col("av"), col("bv")).as("dist"))
+    TopK.perGroup(pairs, "src", "dst", "dist", 5, asc = true)
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  // ---- DuckDB oracle shared fragments (identical fold order) ----
+
+  private val SQL_Q =
+    "q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0)"
+  private val SQL_B =
+    "b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0)"
+
+  private def sqlScore(metric: String): String = metric match {
+    case "cosine" => Vec.sqlCosine("qv", "bv")
+    case "l2"     => s"sqrt(${Vec.sqlL2sq("qv", "bv")})"
+    case "ip"     => Vec.sqlDot("qv", "bv")
+  }
+
+  private def sqlTopk(metric: String): String = {
+    val ord = if (metric == "l2") "ASC" else "DESC"
+    s"""
+      WITH $SQL_Q, $SQL_B,
+      s AS (SELECT qid, bid, ${sqlScore(metric)} AS score FROM b CROSS JOIN q),
+      r AS (SELECT qid, bid, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score $ord, bid) AS INT) AS rnk
+            FROM s)
+      SELECT qid, rnk, bid, score FROM r WHERE rnk <= $K
+      ORDER BY qid, rnk
+    """
+  }
+
+  // ---- the queries ----
+
+  val vNormalize = Q(
+    "v_normalize",
+    (s, dir) => {
+      Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), Vec.asD(col("embedding")).as("v"))
+        .withColumn("n2", Vec.norm2(col("v")))
+        .select(
+          col("vec_id"),
+          sqrt(col("n2")).as("norm"),
+          transform(col("v"), x => x / sqrt(col("n2"))).as("unit"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      SELECT vec_id, sqrt(n2) AS norm,
+             list_transform(v, x -> x / sqrt(n2)) AS unit
+      FROM (SELECT vec_id, v, ${Vec.sqlNorm2("v")} AS n2
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+      ORDER BY vec_id
+    """))
+
+  val vPairDist = Q(
+    "v_pair_dist",
+    (s, dir) => {
+      val a = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id").as("a_id"), Vec.asD(col("embedding")).as("av"))
+      val b = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id").as("b_id"), Vec.asD(col("embedding")).as("bv"))
+      a.join(b, col("a_id") + 1 === col("b_id"))
+        .select(
+          col("a_id"),
+          Vec.l2(col("av"), col("bv")).as("l2"),
+          Vec.cosine(col("av"), col("bv")).as("cosine"),
+          Vec.ip(col("av"), col("bv")).as("ip"))
+        .orderBy(col("a_id"))
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS av FROM embeddings),
+           bb AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv FROM embeddings)
+      SELECT a_id, sqrt(${Vec.sqlL2sq("av", "bv")}) AS l2,
+             ${Vec.sqlCosine("av", "bv")} AS cosine,
+             ${Vec.sqlDot("av", "bv")} AS ip
+      FROM a JOIN bb ON a_id + 1 = b_id
+      ORDER BY a_id
+    """))
+
+  val gtCosine = Q("gt_topk_cosine", (s, d) => gtTopk(s, d, "cosine"), Some(sqlTopk("cosine")))
+  val gtL2     = Q("gt_topk_l2",     (s, d) => gtTopk(s, d, "l2"),     Some(sqlTopk("l2")))
+  val gtIp     = Q("gt_topk_ip",     (s, d) => gtTopk(s, d, "ip"),     Some(sqlTopk("ip")))
+
+  val knnGraphQ = Q(
+    "knn_graph",
+    (s, d) => knnGraph(s, d),
+    Some(s"""
+      WITH a AS (SELECT vec_id AS src, embedding::DOUBLE[] AS av FROM embeddings),
+           bb AS (SELECT vec_id AS dst, embedding::DOUBLE[] AS bv FROM embeddings),
+           s AS (SELECT src, dst, sqrt(${Vec.sqlL2sq("av", "bv")}) AS dist
+                 FROM a CROSS JOIN bb WHERE src <> dst),
+           r AS (SELECT src, dst, dist,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst) AS INT) AS rnk
+                 FROM s)
+      SELECT src, rnk, dst, dist FROM r WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
+  /** Recall@10 of IP ranking vs cosine ranking — the reference's
+    * evaluate_recall (roargraph_python.py:451-461) over two of our own
+    * exact rankings (metric-divergence measurement). */
+  val recallEval = Q(
+    "recall_eval",
+    (s, dir) => {
+      val cos = gtTopk(s, dir, "cosine").select(col("qid"), col("bid"))
+      val ip = gtTopk(s, dir, "ip").select(col("qid"), col("bid").as("bid2"))
+      cos.join(ip, cos("qid") === ip("qid") && col("bid") === col("bid2"), "left")
+        .groupBy(cos("qid").as("qid"))
+        .agg((count(col("bid2")) / lit(10.0)).as("recall"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH $SQL_Q, $SQL_B,
+      sc AS (SELECT qid, bid, ${sqlScore("cosine")} AS score FROM b CROSS JOIN q),
+      rc AS (SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS rnk FROM sc),
+      tc AS (SELECT qid, bid FROM rc WHERE rnk <= $K),
+      si AS (SELECT qid, bid, ${sqlScore("ip")} AS score FROM b CROSS JOIN q),
+      ri AS (SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS rnk FROM si),
+      ti AS (SELECT qid, bid FROM ri WHERE rnk <= $K)
+      SELECT tc.qid AS qid, COUNT(ti.bid) / 10.0 AS recall
+      FROM tc LEFT JOIN ti ON tc.qid = ti.qid AND tc.bid = ti.bid
+      GROUP BY tc.qid
+      ORDER BY qid
+    """))
+
+  /** Per-modality per-dimension mean/variance — the LC-CMD statistics
+    * of Idea-1023.md (σ²_{m,k}); `label` is the modality tag.
+    *
+    * Determinism: raw-double sums are shuffle-order-dependent, and
+    * DECIMAL casts of arbitrary doubles hit engine rounding-mode
+    * differences, so inputs are quantized to 1e-6 with pure-double ops
+    * (`floor(x*1e6 + 0.5)` — bit-identical in both engines), then
+    * summed as exact integers. Stats are over the quantized values
+    * (error ≤ 5e-7 per element, documented operator semantics). */
+  val modalityStats = Q(
+    "modality_stats",
+    (s, dir) => {
+      Tables.t(s, dir, "embeddings")
+        .select(col("label"), posexplode(Vec.asD(col("embedding"))).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x") * lit(1000000.0) + lit(0.5)).as("xq"))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xq").cast(DecimalType(38, 0))).cast("double").as("sum_q"),
+          sum((col("xq") * col("xq")).cast(DecimalType(38, 0))).cast("double").as("sumsq_q"))
+        .select(
+          col("label"), col("dim"), col("n"),
+          (col("sum_q") / col("n") / lit(1000000.0)).as("mean"),
+          ((col("sumsq_q") - col("sum_q") * col("sum_q") / col("n")) / col("n") / lit(1.0e12)).as("variance"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT label, u.i AS dim, floor(u.x * 1000000.0 + 0.5) AS xq
+        FROM (SELECT label,
+                     unnest(list_transform(range(1, len(v)+1),
+                                           i -> {'i': i - 1, 'x': v[i]})) AS u
+              FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))),
+      m AS (
+        SELECT label, dim, COUNT(*) AS n,
+               CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sum_q,
+               CAST(SUM(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sumsq_q
+        FROM x GROUP BY label, dim)
+      SELECT label, dim, n, sum_q / n / 1000000.0 AS mean,
+             (sumsq_q - sum_q * sum_q / n) / n / 1.0e12 AS variance
+      FROM m
+      ORDER BY label, dim
+    """))
+
+  /** In-degree histogram of the kNN graph — reference get_statistics
+    * (roargraph_python.py:421-436). */
+  val graphStats = Q(
+    "graph_stats",
+    (s, dir) => {
+      knnGraph(s, dir)
+        .groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+        .groupBy(col("indeg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("indeg"))
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id AS src, embedding::DOUBLE[] AS av FROM embeddings),
+           bb AS (SELECT vec_id AS dst, embedding::DOUBLE[] AS bv FROM embeddings),
+           s AS (SELECT src, dst, sqrt(${Vec.sqlL2sq("av", "bv")}) AS dist
+                 FROM a CROSS JOIN bb WHERE src <> dst),
+           r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst) AS rnk
+                 FROM s),
+           knn AS (SELECT src, dst FROM r WHERE rnk <= 5),
+           d AS (SELECT dst, COUNT(*) AS indeg FROM knn GROUP BY dst)
+      SELECT indeg, COUNT(*) AS n_nodes FROM d GROUP BY indeg ORDER BY indeg
+    """))
+
+  /** Global-centroid entry point — roargraph_python.py:164-175. */
+  val roarEntryPoint = Q(
+    "roar_entry_point",
+    (s, dir) => {
+      val dims = Tables.t(s, dir, "embeddings")
+        .select(posexplode(Vec.asD(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg((sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast(DecimalType(38, 0)))
+          .cast("double") / count(lit(1)) / lit(1000000.0)).as("m"))
+      val centroid = dims
+        .agg(array_sort(collect_list(struct(col("dim").as("dim"), col("m").as("m")))).as("dm"))
+        .select(transform(col("dm"), e => e.getField("m")).as("cv"))
+      val base = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id").as("bid"), Vec.asD(col("embedding")).as("bv"))
+      base.crossJoin(broadcast(centroid))
+        .select(col("bid"), Vec.l2(col("bv"), col("cv")).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("dist"), col("bid"))))
+        .filter(col("rn") === 1)
+        .select(col("bid"), col("dist"))
+    },
+    Some(s"""
+      WITH x AS (
+        SELECT u.i AS dim, u.x AS x
+        FROM (SELECT unnest(list_transform(range(1, len(v)+1),
+                                           i -> {'i': i - 1, 'x': v[i]})) AS u
+              FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings))),
+      dims AS (SELECT dim,
+                      CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                        / COUNT(*) / 1000000.0 AS m
+               FROM x GROUP BY dim),
+      c AS (SELECT list(m ORDER BY dim) AS cv FROM dims),
+      sc AS (SELECT vec_id AS bid, sqrt(${Vec.sqlL2sq("bv", "cv")}) AS dist
+             FROM (SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings) CROSS JOIN c)
+      SELECT bid, dist FROM sc ORDER BY dist, bid LIMIT 1
+    """))
+
+  val qs: Seq[Q] = Seq(
+    vNormalize, vPairDist, gtCosine, gtL2, gtIp, knnGraphQ,
+    recallEval, modalityStats, graphStats, roarEntryPoint)
+}
