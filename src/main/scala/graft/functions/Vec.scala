@@ -52,6 +52,24 @@ object Vec {
   def normalized(a: Column, norm: Column): Column =
     transform(a, x => x / norm)
 
+  // ---- codegen'd kernels (VecExprs): same folds, zero allocation ----
+  // These accept raw array<float> or array<double> columns — use them
+  // in hot paths so parquet float vectors never materialize as new
+  // double arrays per pair.
+
+  private def bc = org.apache.spark.sql.graftbridge.Bridge
+
+  def dotFast(a: Column, b: Column): Column =
+    bc.column(VecDot(bc.expr(a), bc.expr(b)))
+
+  def l2sqFast(a: Column, b: Column): Column =
+    bc.column(VecL2Sq(bc.expr(a), bc.expr(b)))
+
+  def l2Fast(a: Column, b: Column): Column = sqrt(l2sqFast(a, b))
+
+  def cosineFast(a: Column, b: Column): Column =
+    bc.column(VecCosine(bc.expr(a), bc.expr(b)))
+
   // ---- DuckDB oracle fragments (same fold order) ----
 
   /** DuckDB SQL for the left-fold dot product of two DOUBLE[] exprs. */

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels over array<float>/array<double> columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * materializes an intermediate array per row pair — at B·Q pairs that
+  * allocation dominates brute-force search. These expressions loop over
+  * the two ArrayData buffers directly inside whole-stage codegen: zero
+  * allocation, float elements widened to double per element.
+  *
+  * Determinism contract unchanged: each accumulator is a left fold in
+  * element order over doubles, so results are bit-identical to the
+  * HOF forms and to the DuckDB oracle fragments (Vec.sql*).
+  *
+  * Reference semantics: l2/cosine/ip distances,
+  * /root/reference/hnsw_cosine_status_high.py:26-45,
+  * /root/reference/roargraph_python.py:106-127.
+  */
+abstract class VecBinaryKernel extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"vector kernel needs an array column, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expected array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  /** Scala-side element accessor (interpreted path). */
+  protected def get(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  /** Java source for reading element i of `arr` as double. */
+  protected def jget(arr: String, i: String, et: DataType): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+}
+
+/** Left-fold dot product. */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryKernel {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ea, eb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, i, ea) * get(b, i, eb); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
+      s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $s += ${jget(a, i, elemType(left))} * ${jget(b, i, elemType(right))};
+       |}
+       |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Left-fold squared L2 distance. */
+case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryKernel {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ea, eb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = get(a, i, ea) - get(b, i, eb); s += d * d; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s, d) =
+        (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("d"))
+      s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = ${jget(a, i, elemType(left))} - ${jget(b, i, elemType(right))};
+       |  $s += $d * $d;
+       |}
+       |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused cosine: dot, |a|², |b|² in one pass (three independent left
+  * folds), result dot/sqrt(n2a*n2b) — associating exactly like
+  * Vec.sqlCosine. */
+case class VecCosine(left: Expression, right: Expression) extends VecBinaryKernel {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ea, eb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, i, ea); val y = get(b, i, eb)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n) = (ctx.freshName("i"), ctx.freshName("n"))
+      val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+      s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = ${jget(a, i, elemType(left))};
+       |  double $y = ${jget(b, i, elemType(right))};
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -9,15 +9,19 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
   * — so top-k sets are deterministic under any merge order. */
 final case class Scored(score: Double, id: Long)
 
+/** Mutable bounded pool: parallel primitive arrays kept sorted
+  * best-first. Mutated in place per input row — no per-row allocation. */
+final case class Pool(scores: Array[Double], ids: Array[Long], var size: Int)
+
 /** Bounded top-k as a typed Aggregator.
   *
   * This is the scale-critical primitive behind every similarity-search
   * operator (SURVEY §5): because it is an Aggregator, Spark runs it
   * with map-side partial aggregation — each input partition reduces to
   * at most k candidates per group BEFORE the shuffle, so a brute-force
-  * scan over B base rows × Q queries shuffles O(partitions·Q·k) tiny
+  * scan over B base rows × Q queries shuffles O(partitions·Q·k) small
   * buffers instead of O(B·Q) pairs. The reference's equivalent is the
-  * bounded candidate pool in its groundtruth / beam searches
+  * bounded candidate pool in its beam searches
   * (roargraph_python.py:31-63 NeighborPriorityQueue).
   *
   * @param k    pool size
@@ -25,26 +29,33 @@ final case class Scored(score: Double, id: Long)
   *             (similarities). Ties always break by ascending id.
   */
 final class TopKAgg(k: Int, asc: Boolean)
-    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    extends Aggregator[Scored, Pool, Seq[Scored]] {
 
-  /** true iff a ranks strictly before b. */
-  private def beats(a: Scored, b: Scored): Boolean =
-    if (a.score != b.score) { if (asc) a.score < b.score else a.score > b.score }
-    else a.id < b.id
+  /** true iff (s1,i1) ranks strictly before (s2,i2). */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
 
-  private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
-    if (buf.length >= k && beats(buf.last, x)) buf
-    else {
-      val i = buf.indexWhere(b => beats(x, b))
-      val grown = if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
-      if (grown.length > k) grown.take(k) else grown
-    }
+  private def insert(p: Pool, s: Double, id: Long): Unit = {
+    if (p.size == k && beats(p.scores(k - 1), p.ids(k - 1), s, id)) return
+    var pos = p.size
+    while (pos > 0 && beats(s, id, p.scores(pos - 1), p.ids(pos - 1))) pos -= 1
+    if (pos >= k) return
+    var j = math.min(p.size, k - 1)
+    while (j > pos) { p.scores(j) = p.scores(j - 1); p.ids(j) = p.ids(j - 1); j -= 1 }
+    p.scores(pos) = s; p.ids(pos) = id
+    if (p.size < k) p.size += 1
+  }
 
-  override def zero: Seq[Scored] = Vector.empty
-  override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] = insert(buf, x)
-  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = b.foldLeft(a)(insert)
-  override def finish(buf: Seq[Scored]): Seq[Scored] = buf
-  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def zero: Pool = Pool(new Array[Double](k), new Array[Long](k), 0)
+  override def reduce(p: Pool, x: Scored): Pool = { insert(p, x.score, x.id); p }
+  override def merge(a: Pool, b: Pool): Pool = {
+    var i = 0
+    while (i < b.size) { insert(a, b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
+  override def finish(p: Pool): Seq[Scored] =
+    (0 until p.size).map(i => Scored(p.scores(i), p.ids(i)))
+  override def bufferEncoder: Encoder[Pool] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
 

@@ -28,19 +28,20 @@ object VectorQs {
   private def qSide(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
       .filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), Vec.asD(col("embedding")).as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
   private def bSide(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
       .filter(col("vec_id") % 50 =!= 0)
-      .select(col("vec_id").as("bid"), Vec.asD(col("embedding")).as("bv"))
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
 
-  /** Brute-force scored pairs, queries broadcast. */
+  /** Brute-force scored pairs, queries broadcast, float arrays scored
+    * in-place by the codegen'd kernels (no per-pair array allocation). */
   private def scored(s: SparkSession, dir: String, metric: String): DataFrame = {
     val sc = metric match {
-      case "cosine" => Vec.cosine(col("qv"), col("bv"))
-      case "l2"     => Vec.l2(col("qv"), col("bv"))
-      case "ip"     => Vec.ip(col("qv"), col("bv"))
+      case "cosine" => Vec.cosineFast(col("qv"), col("bv"))
+      case "l2"     => Vec.l2Fast(col("qv"), col("bv"))
+      case "ip"     => Vec.dotFast(col("qv"), col("bv"))
     }
     bSide(s, dir).crossJoin(broadcast(qSide(s, dir)))
       .select(col("qid"), col("bid"), sc.as("score"))
@@ -55,12 +56,12 @@ object VectorQs {
     * (roargraph_python.py:155-162) generalized to the base set. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id").as("src"), Vec.asD(col("embedding")).as("av"))
+      .select(col("vec_id").as("src"), col("embedding").as("av"))
     val b = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id").as("dst"), Vec.asD(col("embedding")).as("bv"))
+      .select(col("vec_id").as("dst"), col("embedding").as("bv"))
     val pairs = a.crossJoin(broadcast(b))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), Vec.l2(col("av"), col("bv")).as("dist"))
+      .select(col("src"), col("dst"), Vec.l2Fast(col("av"), col("bv")).as("dist"))
     TopK.perGroup(pairs, "src", "dst", "dist", 5, asc = true)
       .orderBy(col("src"), col("rnk"))
   }
@@ -117,15 +118,15 @@ object VectorQs {
     "v_pair_dist",
     (s, dir) => {
       val a = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id").as("a_id"), Vec.asD(col("embedding")).as("av"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("av"))
       val b = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id").as("b_id"), Vec.asD(col("embedding")).as("bv"))
+        .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
       a.join(b, col("a_id") + 1 === col("b_id"))
         .select(
           col("a_id"),
-          Vec.l2(col("av"), col("bv")).as("l2"),
-          Vec.cosine(col("av"), col("bv")).as("cosine"),
-          Vec.ip(col("av"), col("bv")).as("ip"))
+          Vec.l2Fast(col("av"), col("bv")).as("l2"),
+          Vec.cosineFast(col("av"), col("bv")).as("cosine"),
+          Vec.dotFast(col("av"), col("bv")).as("ip"))
         .orderBy(col("a_id"))
     },
     Some(s"""
@@ -264,9 +265,9 @@ object VectorQs {
         .agg(array_sort(collect_list(struct(col("dim").as("dim"), col("m").as("m")))).as("dm"))
         .select(transform(col("dm"), e => e.getField("m")).as("cv"))
       val base = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id").as("bid"), Vec.asD(col("embedding")).as("bv"))
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       base.crossJoin(broadcast(centroid))
-        .select(col("bid"), Vec.l2(col("bv"), col("cv")).as("dist"))
+        .select(col("bid"), Vec.l2Fast(col("bv"), col("cv")).as("dist"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("dist"), col("bid"))))
         .filter(col("rn") === 1)
