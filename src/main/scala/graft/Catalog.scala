@@ -4,7 +4,8 @@ package graft
   * themselves here; SparkEntry derives queries/oracleSql from this. */
 object Catalog {
   val all: Seq[Q] =
-    queries.Relational.qs ++ queries.VectorQs.qs
+    queries.Relational.qs ++ queries.VectorQs.qs ++
+      queries.TextQs.qs ++ queries.DedupQs.qs
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

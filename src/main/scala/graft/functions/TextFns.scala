@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the text-analysis and dedup families.
+  *
+  * Engine-portability rule (SURVEY §6): all hashing is MD5 hex strings
+  * (identical in Spark and DuckDB); all "minimum hash" logic uses
+  * lexicographic MIN over those hex strings, which any total order
+  * satisfies — so MinHash/winnowing semantics hold without
+  * engine-specific 64-bit hashes. The scale path can swap xxhash64 in
+  * (same shapes), but oracle'd queries stay on MD5.
+  */
+object TextFns {
+
+  /** Whitespace words, empties dropped (mirror: list_filter(string_split(...))) */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  def sqlWords(text: String): String =
+    s"list_filter(string_split($text, ' '), w -> w <> '')"
+
+  /** Distinct n-word shingles joined by single spaces, 1-based
+    * element_at to mirror DuckDB list indexing. Empty-safe. */
+  def wordShingles(w: Column, n: Int): Column = {
+    val joined = transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
+    array_distinct(joined)
+  }
+
+  def sqlWordShingles(w: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$w[i + $o]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, greatest(len($w) - ${n - 1}, 0) + 1), i -> $parts))"
+  }
+
+  /** Distinct character k-grams of a string. */
+  def charGrams(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(0))),
+      i => text.substr(i, lit(k))))
+
+  def sqlCharGrams(text: String, k: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(length($text) - ${k - 1}, 0) + 1), i -> substr($text, i, $k)))"
+
+  /** Jaccard of two pre-distinct string arrays, as double. */
+  def jaccard(a: Column, b: Column): Column =
+    (size(array_intersect(a, b)) * lit(1.0)) / size(array_distinct(concat(a, b)))
+
+  def sqlJaccard(a: String, b: String): String =
+    s"(len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b)))"
+
+  // ---- MinHash (MD5-lexicographic minima) ----
+
+  /** j-th MinHash of a shingle array: lexicographic min of
+    * md5(j || '|' || shingle). NULL-free arrays assumed. */
+  def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(s"$j|"), sh))))
+
+  def sqlMinhash(shingles: String, j: Int): String =
+    s"list_aggregate(list_transform($shingles, sh -> md5('$j|' || sh)), 'min')"
+
+  // ---- stopword profiles for lang-id / quality ----
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "un", "una", "es", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+
+  /** Fraction of words that belong to `set` (0 when no words). */
+  def ratioIn(w: Column, set: Seq[String]): Column =
+    when(size(w) > 0,
+      size(filter(w, x => x.isin(set: _*))) * lit(1.0) / size(w))
+      .otherwise(lit(0.0))
+
+  def sqlRatioIn(w: String, set: Seq[String]): String = {
+    val lst = set.map(s => s"'$s'").mkString(", ")
+    s"CASE WHEN len($w) > 0 THEN len(list_filter($w, x -> x IN ($lst))) * 1.0 / len($w) ELSE 0.0 END"
+  }
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import graft.functions.TextFns._
+import graft.functions.Vec
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Family B (SURVEY §2B): deduplication for LLM training-data
+  * pipelines, over `documents` (text) and `embeddings` (vectors).
+  *
+  * Scale design (SURVEY §5): MinHash/SimHash signatures are pure maps;
+  * candidate generation is an equi-join on short band keys (shuffle =
+  * |docs|·bands small rows); exact verification touches only candidate
+  * pairs, never the N² space. The reference's SimHash bucketing is
+  * simple_sim_hash.py:1-33.
+  */
+object DedupQs {
+
+  private val NumHashes = 9
+  private val Bands = 3 // 3 rows per band
+  private val MinhashThreshold = 0.5
+  private val SimhashMaxHamming = 4
+  private val EmbCosThreshold = 0.45
+
+  // ---- dedup_exact ----
+
+  val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_md5"))
+        .groupBy(col("norm_md5"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("norm_md5"))
+    },
+    Some("""
+      SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_md5,
+             COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+      FROM documents
+      GROUP BY 1
+      ORDER BY norm_md5
+    """))
+
+  // ---- MinHash LSH ----
+
+  /** doc_id + distinct 3-word shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), wordShingles(words(col("text")), 3).as("sh"))
+
+  private val sqlShingled =
+    s"sh AS (SELECT doc_id, ${sqlWordShingles(sqlWords("text"), 3)} AS sh FROM documents)"
+
+  /** (band_idx, band_key, doc_id) — band key = md5 of 3 concatenated
+    * MinHash values. */
+  private def banded(s: SparkSession, dir: String): DataFrame = {
+    val sigs = (0 until NumHashes).map(j => minhash(col("sh"), j))
+    val bandKeys = (0 until Bands).map { b =>
+      md5(concat(sigs(3 * b), sigs(3 * b + 1), sigs(3 * b + 2)))
+    }
+    shingled(s, dir)
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
+  }
+
+  private val sqlBanded = {
+    def sig(j: Int) = sqlMinhash("sh", j)
+    val bandKeys = (0 until Bands)
+      .map(b => s"md5(${sig(3 * b)} || ${sig(3 * b + 1)} || ${sig(3 * b + 2)})")
+      .mkString(", ")
+    s"""banded AS (
+      SELECT doc_id, u.i AS band_idx, u.k AS bkey
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, ${Bands + 1}),
+                          i -> {'i': i - 1, 'k': bands[i]})) AS u
+            FROM (SELECT doc_id, [$bandKeys] AS bands FROM sh)))"""
+  }
+
+  /** LSH candidates verified by exact shingle Jaccard. */
+  val dedupMinhash = Q(
+    "dedup_minhash",
+    (s, dir) => {
+      val bands = banded(s, dir)
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val sh = shingled(s, dir)
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+        .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+        .filter(col("jaccard") >= MinhashThreshold)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $sqlShingled,
+      $sqlBanded,
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.band_idx = y.band_idx AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = a
+      JOIN sh sb ON sb.doc_id = b
+      WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= $MinhashThreshold
+      ORDER BY a, b
+    """))
+
+  /** Connected components over verified duplicate pairs → canonical
+    * survivor (min doc_id) per component. Iterative alternating
+    * min-label propagation (log-diameter rounds) — rows-only oracle
+    * (not ANSI-SQL-expressible without recursion). */
+  val dedupMinhashGroups = Q(
+    "dedup_minhash_groups",
+    (s, dir) => {
+      val pairs = dedupMinhash.fn(s, dir).select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .cache()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 10) {
+        val nbrMin = edges
+          .join(labels, edges("b") === labels("node"))
+          .groupBy(col("a").as("node2"))
+          .agg(min(col("label")).as("nbr_label"))
+        val updated = labels.join(nbrMin, col("node") === col("node2"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .cache()
+        val changed = updated.alias("u")
+          .join(labels.alias("l"), col("u.node") === col("l.node"))
+          .filter(col("u.label") =!= col("l.label")).count()
+        labels = updated
+        converged = changed == 0
+        rounds += 1
+      }
+      labels.groupBy(col("label").as("survivor_id"))
+        .agg(count(lit(1)).as("group_size"),
+          array_sort(collect_list(col("node"))).as("members"))
+        .orderBy(col("survivor_id"))
+    },
+    None)
+
+  // ---- SimHash ----
+
+  /** 32-bit SimHash over distinct word BIGRAMS: bit i set iff the sum
+    * over tokens of ±1 (sign = bit i of the token's md5-prefix) is > 0.
+    * Bigrams (not single words) keep signatures discriminative when a
+    * corpus shares a small vocabulary — with unigram features every
+    * doc collided into every band and the candidate join degenerated
+    * to N². */
+  private def simhashDoc(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(wordShingles(words(lower(col("text"))), 2)).as("tok"))
+      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+    val sums = (0 until 32).map(i =>
+      sum(shiftright(col("v"), i).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$i"))
+    val sim = (0 until 32)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private val sqlSimhashDoc = {
+    val sums = (0 until 32)
+      .map(i => s"SUM(((v >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
+    val sim = (0 until 32)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+      SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS v
+      FROM (SELECT doc_id, unnest(${sqlWordShingles(sqlWords("lower(text)"), 2)}) AS tok
+            FROM documents) t),
+    sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+    simdoc AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  /** Banded SimHash near-dup pairs (4 bands of 8 bits, Hamming ≤ 6
+    * verified via bit_count(xor)). */
+  val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val sim = simhashDoc(s, dir)
+      val bandKeys = (0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= SimhashMaxHamming)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $sqlSimhashDoc,
+      bands AS (
+        SELECT doc_id, simhash, u.i AS band_idx, u.k AS bkey
+        FROM (SELECT doc_id, simhash,
+                     unnest(list_transform(range(1, 5),
+                            i -> {'i': i - 1, 'k': (simhash >> ((i - 1) * 8)) & 255})) AS u
+              FROM simdoc)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT a, b, hamming FROM pairs
+      WHERE hamming <= $SimhashMaxHamming
+      ORDER BY a, b
+    """))
+
+  // ---- n-gram Jaccard + embedding near-dup ----
+
+  /** Exact char-3-gram Jaccard for adjacent doc pairs. */
+  val ngramJaccard = Q(
+    "ngram_jaccard",
+    (s, dir) => {
+      val g = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), charGrams(lower(col("text")), 3).as("g"))
+      g.select(col("doc_id").as("a"), col("g").as("ga"))
+        .join(g.select(col("doc_id").as("b"), col("g").as("gb")),
+          col("a") + 1 === col("b"))
+        .select(col("a"), col("b"), jaccard(col("ga"), col("gb")).as("jaccard"))
+        .orderBy(col("a"))
+    },
+    Some(s"""
+      WITH g AS (SELECT doc_id, ${sqlCharGrams("lower(text)", 3)} AS g FROM documents)
+      SELECT x.doc_id AS a, y.doc_id AS b, ${sqlJaccard("x.g", "y.g")} AS jaccard
+      FROM g x JOIN g y ON x.doc_id + 1 = y.doc_id
+      ORDER BY a
+    """))
+
+  /** Embedding-cosine near-duplicate pairs (brute-force exact; the LSH
+    * and IVF paths in family A are the at-scale candidate generators). */
+  val dedupEmbedding = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), Vec.cosineFast(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= EmbCosThreshold)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b, ${Vec.sqlCosine("x.v", "y.v")} AS cos
+      FROM e x JOIN e y ON x.vec_id < y.vec_id
+      WHERE ${Vec.sqlCosine("x.v", "y.v")} >= $EmbCosThreshold
+      ORDER BY a, b
+    """))
+
+  val qs: Seq[Q] = Seq(
+    dedupExact, dedupMinhash, dedupMinhashGroups, dedupSimhash,
+    ngramJaccard, dedupEmbedding)
+}

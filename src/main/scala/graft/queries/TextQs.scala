@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.functions.TextFns._
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Family D (SURVEY §2D): text analysis over `documents`.
+  *
+  * All pure per-row map operators — at 100 TB these are embarrassingly
+  * parallel scans with full column pruning; no shuffles except the
+  * final presentation sort (which real pipelines would skip).
+  */
+object TextQs {
+
+  /** Whitespace + BPE-ish regex token counts. */
+  val tokenCount = Q(
+    "token_count",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(words(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, length(text) AS n_chars,
+             len(${sqlWords("text")}) AS n_ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Length / punctuation / stopword quality score. */
+  val textQuality = Q(
+    "text_quality",
+    (s, dir) => {
+      val w = words(col("text"))
+      val n = size(w)
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))) * lit(1.0) / length(col("text"))
+      val stop = ratioIn(w, stopwords("en"))
+      val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)) * lit(1.0) / n
+      Tables.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          punct.as("punct_ratio"),
+          stop.as("stop_ratio"),
+          meanLen.as("mean_word_len"),
+          (least(lit(1.0), n * lit(1.0) / lit(64.0)) * lit(0.3)
+            + (lit(1.0) - punct) * lit(0.3)
+            + stop * lit(0.4)).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val w = sqlWords("text")
+      val punct = s"(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)"
+      val stop = sqlRatioIn(w, stopwords("en"))
+      s"""
+      SELECT doc_id,
+             len($w) AS n_tokens,
+             $punct AS punct_ratio,
+             $stop AS stop_ratio,
+             list_sum(list_transform($w, x -> length(x))) * 1.0 / len($w) AS mean_word_len,
+             least(1.0, len($w) * 1.0 / 64.0) * 0.3 + (1.0 - $punct) * 0.3 + $stop * 0.4 AS quality
+      FROM documents
+      ORDER BY doc_id
+      """
+    })
+
+  /** Stopword-profile language ID; ties break to the alphabetically
+    * first language. Compared against the labeled `lang` column. */
+  val langId = Q(
+    "lang_id",
+    (s, dir) => {
+      val w = words(lower(col("text")))
+      val langs = stopwords.keys.toSeq.sorted
+      val scores = langs.map(l => l -> ratioIn(w, stopwords(l))).toMap
+      val pred = langs.foldRight(lit(langs.last)) { (l, acc) =>
+        val dominates = langs.filter(_ > l)
+          .map(o => scores(l) >= scores(o))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        when(dominates, lit(l)).otherwise(acc)
+      }
+      Tables.t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang").as("labeled"),
+          pred.as("pred"),
+          (pred === col("lang")).as("hit"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val w = sqlWords("lower(text)")
+      val langs = stopwords.keys.toSeq.sorted
+      def sc(l: String) = sqlRatioIn(w, stopwords(l))
+      val cases = langs.dropRight(1).map { l =>
+        val conds = langs.filter(_ > l).map(o => s"(${sc(l)}) >= (${sc(o)})").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n             ")
+      s"""
+      SELECT doc_id, lang AS labeled,
+             CASE $cases ELSE '${langs.last}' END AS pred,
+             (CASE $cases ELSE '${langs.last}' END) = lang AS hit
+      FROM documents
+      ORDER BY doc_id
+      """
+    })
+
+  /** Winnowing fingerprints: positional char-8-grams → MD5 → min per
+    * 4-window → distinct. (Rolling-hash fingerprinting in the MD5-
+    * portable formulation; SURVEY §2D.) */
+  val docFingerprint = Q(
+    "doc_fingerprint",
+    (s, dir) => {
+      val hashes = transform(
+        sequence(lit(1), greatest(length(col("text")) - 7, lit(0))),
+        i => md5(col("text").substr(i, lit(8))))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), hashes.as("h"))
+        .select(
+          col("doc_id"),
+          size(col("h")).as("n_grams"),
+          array_min(col("h")).as("min_fp"),
+          size(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("h")) - 3, lit(0))),
+            j => array_min(slice(col("h"), j, lit(4)))))).as("n_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                              i -> md5(substr(text, i, 8))) AS h
+        FROM documents)
+      SELECT doc_id, len(h) AS n_grams,
+             list_aggregate(h, 'min') AS min_fp,
+             len(list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                                              j -> list_aggregate(h[j:j+3], 'min')))) AS n_fp
+      FROM h
+      ORDER BY doc_id
+    """))
+
+  val qs: Seq[Q] = Seq(tokenCount, textQuality, langId, docFingerprint)
+}
