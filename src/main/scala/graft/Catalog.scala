@@ -5,6 +5,7 @@ package graft
 object Catalog {
   val all: Seq[Q] =
     queries.Relational.qs ++ queries.VectorQs.qs ++
+      queries.VectorQs2.qs ++ queries.VectorQs3.qs ++
       queries.TextQs.qs ++ queries.DedupQs.qs
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =

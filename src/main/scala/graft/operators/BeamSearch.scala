@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Batch beam search over an edge-table graph — the Spark re-expression
+  * of the reference's queue-driven graph search
+  * (roargraph_python.py:325-420, hnsw _search_layer): instead of
+  * pointer-chasing per query, ALL queries advance one hop per round via
+  * one edges join, keeping a bounded frontier (beam) per query. Rounds
+  * ≈ graph hops; each round is one shuffle on node id.
+  */
+object BeamSearch {
+
+  /** @param edges   (src, dst) directed edge table
+    * @param queries (qid, qv) query vectors
+    * @param base    (bid, bv) node vectors
+    * @param entry   global entry node id (roar_entry_point)
+    * @param ef      beam width per query
+    * @param rounds  expansion rounds
+    * @return (qid, rnk, bid, dist) best-ef per query after expansion
+    */
+  def run(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      entry: Long,
+      ef: Int,
+      rounds: Int): DataFrame = {
+    val scoreOf: DataFrame => DataFrame = cand =>
+      cand.join(base, Seq("bid"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
+
+    var beam = scoreOf(queries.select(col("qid")).withColumn("bid", lit(entry)))
+    var visited = beam.select(col("qid"), col("bid"))
+    for (_ <- 1 to rounds) {
+      val frontier = beam.select(col("qid"), col("bid").as("src"))
+      val expanded = frontier.join(edges, Seq("src"))
+        .select(col("qid"), col("dst").as("bid"))
+        .distinct()
+        .join(visited.withColumn("seen", lit(1)), Seq("qid", "bid"), "left_anti")
+      val scoredNew = scoreOf(expanded)
+      visited = visited.union(scoredNew.select(col("qid"), col("bid"))).cache()
+      beam = TopK.perGroup(beam.union(scoredNew), "qid", "bid", "dist", ef, asc = true)
+        .select(col("qid"), col("bid"), col("dist")).cache()
+    }
+    TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** IVF coarse quantizer — the MEAR anchor routing of Idea-1023.md
+  * (k-means cluster centers as multi-entry seeds, cluster-level
+  * candidates) built with DataFrame ops.
+  *
+  * Scale shape (SURVEY §5): only the k centroid vectors ever reach the
+  * driver (k ≪ N by construction); assignment is a broadcast map over
+  * the base; each Lloyd iteration is one scan + one groupBy(cid, dim)
+  * partial aggregation. Search shuffles only the probed cells.
+  */
+object Ivf {
+
+  /** Deterministic k-means: init = k lowest vec_ids, `iters` Lloyd
+    * rounds. Returns (cid, cv: array<double>) centroids. */
+  def centroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = emb.orderBy(col("vec_id")).limit(k)
+      .select(monotonically_increasing_id().as("cid"), Vec.asD(col("embedding")).as("cv"))
+      // k rows — keep ids stable regardless of partitioning
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cid"))).cast("long") - 1)
+      .select(col("cid"), col("cv")).cache()
+    for (_ <- 1 to iters) {
+      val assigned = assign(emb, cents)
+      val next = assigned
+        .select(col("cid"), posexplode(Vec.asD(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim").as("dim"), col("m").as("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cv"))
+        .cache()
+      next.count() // materialize before unpersisting parent
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: emb columns + `cid`. */
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(emb.columns.map(col) :+ col("cid") :+
+        Vec.l2sqFast(col("embedding"), col("cv")).as("d2"): _*)
+    val best = TopK.perGroup(
+      scored.select(col("vec_id").as("g"), col("cid"), col("d2")),
+      "g", "cid", "d2", 1, asc = true)
+      .select(col("g"), col("cid"))
+    emb.join(best, emb("vec_id") === col("g")).drop("g")
+  }
+
+  /** nprobe nearest centroids per query → candidates from those cells
+    * → exact rerank top-k. */
+  def search(
+      base: DataFrame, // vec_id, embedding, cid
+      cents: DataFrame,
+      queries: DataFrame, // qid, qv
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val probed = TopK.perGroup(
+      queries.crossJoin(broadcast(cents))
+        .select(col("qid").as("g"), col("cid"),
+          Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
+      "g", "cid", "d2", nprobe, asc = true)
+      .select(col("g").as("qid"), col("cid"))
+    val cand = base.join(probed.join(queries, Seq("qid")), Seq("cid"))
+      .select(col("qid"), col("vec_id").as("bid"),
+        Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
+    TopK.perGroup(cand, "qid", "bid", "dist", k, asc = true)
+  }
+}

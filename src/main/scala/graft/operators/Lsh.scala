@@ -1,0 +1,31 @@
+package graft.operators
+
+/** Deterministic hyperplane bank for embedding SimHash LSH
+  * (reference: simple_sim_hash.py — random hyperplanes, sign bits,
+  * bucket dict, radius-1 multiprobe).
+  *
+  * Planes come from a fixed SplitMix64-style stream so the SAME
+  * numbers can be inlined as literals into both the Spark plan and the
+  * DuckDB oracle SQL (Double.toString round-trips exactly). */
+object Lsh {
+  // 8 bits → 256 buckets: at the test scale (~500 vectors) buckets
+  // hold a few vectors each, so radius-1 multiprobe actually surfaces
+  // candidates. At production scale raise NBits ~ log2(N/targetBucket).
+  val NBits = 8
+  val Dim = 64
+
+  /** planes(bit)(dim) ∈ [-1, 1), deterministic. */
+  val planes: IndexedSeq[IndexedSeq[Double]] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      // take the high 53 bits → uniform [0,1) → [-1,1)
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    IndexedSeq.fill(NBits)(IndexedSeq.fill(Dim)(next()))
+  }
+
+  /** DuckDB literal for plane j. */
+  def sqlPlane(j: Int): String =
+    planes(j).map(_.toString).mkString("[", ", ", "]")
+}

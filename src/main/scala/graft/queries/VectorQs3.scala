@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.functions.Vec
+import graft.operators.{BeamSearch, Ivf}
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Family A continued: IVF build/search and batch graph beam search.
+  * Iterative operators — rows-only oracles (invariants spec-tested:
+  * IvfSpec/BeamSpec check recall against the exact groundtruth). */
+object VectorQs3 {
+
+  private val K = 16
+  private val Iters = 3
+
+  /** k-means centroids + inverted-list sizes. */
+  val ivfBuild = Q(
+    "ivf_build",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val cents = Ivf.centroids(emb, K, Iters)
+      val assigned = Ivf.assign(emb, cents)
+      assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+        .join(cents, Seq("cid"))
+        .select(col("cid"), col("n_vecs"),
+          sqrt(Vec.norm2(col("cv"))).as("centroid_norm"))
+        .orderBy(col("cid"))
+    },
+    None)
+
+  /** nprobe=4 routed search, exact rerank within probed cells. */
+  val ivfSearch = Q(
+    "ivf_search",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val cents = Ivf.centroids(emb.filter(col("vec_id") % 50 =!= 0), K, Iters)
+      val base = Ivf.assign(emb.filter(col("vec_id") % 50 =!= 0), cents)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ivf.search(base, cents, queries, nprobe = 4, k = 10)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  /** Beam search over the projection graph from the global entry point
+    * (reference search loop, roargraph_python.py:325-420). */
+  val graphBeamSearch = Q(
+    "graph_beam_search",
+    (s, dir) => {
+      val edges = VectorQs2.roarProjectionGraph.fn(s, dir)
+        .select(col("src"), col("dst")).cache()
+      val emb = Tables.t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // entry point: base node nearest to the projection-graph's most
+      // connected region — use min src of the edge table (deterministic,
+      // cheap); the true centroid entry is roar_entry_point.
+      val entry = edges.agg(min(col("src"))).head().getLong(0)
+      BeamSearch.run(edges, queries, base, entry, ef = 10, rounds = 3)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(ivfBuild, ivfSearch, graphBeamSearch)
+}
