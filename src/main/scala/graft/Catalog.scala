@@ -6,7 +6,8 @@ object Catalog {
   val all: Seq[Q] =
     queries.Relational.qs ++ queries.VectorQs.qs ++
       queries.VectorQs2.qs ++ queries.VectorQs3.qs ++
-      queries.TextQs.qs ++ queries.DedupQs.qs
+      queries.TextQs.qs ++ queries.DedupQs.qs ++
+      queries.MultimodalQs.qs
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.Fbin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite with SharedSpark {
+
+  test("fbin roundtrip preserves vectors, header, and order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fbin").toFile
+    val path = s"${dir.getAbsolutePath}/test.fbin"
+    val vecs = (0L until 37L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 31 + j).toFloat / 7f)))
+    Fbin.writeFloat(vecs.toDF("idx", "vec"), path)
+
+    // header check against the reference layout (io_utils.py:43-54)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() == 37 && bb.getInt() == 8)
+    assert(bytes.length == 8 + 37 * 8 * 4)
+
+    val back = Fbin.readFloat(spark, path)
+      .select(col("idx"), col("vec")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    assert(back.length == 37)
+    assert(back.zip(vecs).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && v1.sameElements(v2) })
+  }
+
+  test("multimodal features are deterministic with stable schema") {
+    val docs = Tables.t(spark, sf, "documents").limit(100)
+    val a = Multimodal.extractFeatures(Multimodal.manifest(docs))
+      .orderBy(col("doc_id")).collect()
+    val b = Multimodal.extractFeatures(Multimodal.manifest(docs))
+      .orderBy(col("doc_id")).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 100)
+    val r = a.head
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("doc_id", "codec", "width", "height", "payload_len", "mean_byte", "phash"))
+    assert(r.getAs[Int]("payload_len") == 16) // md5-derived stub payload
+    assert(Set("jpeg", "png", "wav").contains(r.getAs[String]("codec")))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed streaming agg matches expected buckets end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "value", "user_id")
+    val q = Events.windowedAgg(df).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(5), "click", 1.0, 1L), (ts(20), "click", 2.0, 2L),
+        (ts(65), "click", 4.0, 1L), (ts(70), "view", 8.0, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(date_format(col("hour"), "HH:mm").as("h"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(("00:00", "click", 2L, 3.0), ("01:00", "click", 1L, 4.0), ("01:00", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session windows close on 30-minute gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "value", "user_id")
+    val q = Events.sessions(df).writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 60-min gap (new session)
+      input.addData(
+        (ts(0), "click", 1.0, 1L), (ts(10), "click", 1.0, 1L), (ts(70), "click", 1.0, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+}
