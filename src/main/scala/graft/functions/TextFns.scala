@@ -51,15 +51,43 @@ object TextFns {
   def sqlJaccard(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b)))"
 
-  // ---- MinHash (MD5-lexicographic minima) ----
+  // ---- MinHash (one MD5 per shingle + universal integer hashes) ----
+  //
+  // h = low-31-bits of the shingle's md5 prefix (computed ONCE);
+  // h_j(s) = (a_j·h + b_j) mod (2³¹−1) gives 9 independent orderings
+  // with pure integer ops — 9× fewer MD5 calls than hashing per seed,
+  // and products stay < 2⁶² so Spark and DuckDB both compute exactly.
 
-  /** j-th MinHash of a shingle array: lexicographic min of
-    * md5(j || '|' || shingle). NULL-free arrays assumed. */
-  def minhash(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, sh => md5(concat(lit(s"$j|"), sh))))
+  val MinhashP = 2147483647L // 2^31 - 1
 
-  def sqlMinhash(shingles: String, j: Int): String =
-    s"list_aggregate(list_transform($shingles, sh -> md5('$j|' || sh)), 'min')"
+  /** (a_j, b_j) pairs, deterministic, 1 ≤ a < p, 0 ≤ b < p. */
+  val minhashCoef: IndexedSeq[(Long, Long)] = {
+    var x = 0x5DEECE66DL
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33) % (MinhashP - 1)
+    }
+    IndexedSeq.fill(16)((next() + 1, next()))
+  }
+
+  /** One 31-bit hash per shingle (single MD5 pass). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, sh =>
+      conv(substring(md5(sh), 1, 15), 16, 10).cast("long").bitwiseAND(lit(0x7fffffffL)))
+
+  def sqlShingleHashes(shingles: String): String =
+    s"list_transform($shingles, sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT & 2147483647)"
+
+  /** j-th MinHash from the precomputed hash array. */
+  def minhash(hs: Column, j: Int): Column = {
+    val (a, b) = minhashCoef(j)
+    array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(MinhashP)))
+  }
+
+  def sqlMinhash(hs: String, j: Int): String = {
+    val (a, b) = minhashCoef(j)
+    s"list_aggregate(list_transform($hs, h -> ($a * h + $b) % $MinhashP), 'min')"
+  }
 
   // ---- stopword profiles for lang-id / quality ----
 

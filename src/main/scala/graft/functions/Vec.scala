@@ -70,6 +70,10 @@ object Vec {
   def cosineFast(a: Column, b: Column): Column =
     bc.column(VecCosine(bc.expr(a), bc.expr(b)))
 
+  /** Σ (a_k−b_k)²/scale_k, one pass, no allocation. */
+  def scaledL2Fast(a: Column, b: Column, scale: Column): Column =
+    bc.column(VecScaledL2(bc.expr(a), bc.expr(b), bc.expr(scale)))
+
   // ---- DuckDB oracle fragments (same fold order) ----
 
   /** DuckDB SQL for the left-fold dot product of two DOUBLE[] exprs. */

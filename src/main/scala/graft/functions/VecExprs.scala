@@ -108,6 +108,61 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryKernel 
     copy(left = l, right = r)
 }
 
+/** Scaled squared-L2 (LC-CMD rerank distance, Idea-1023.md):
+  * Σ ((a_k−b_k)²)/scale_k as one fused left fold — `scale` is the
+  * precomputed per-label-pair denominator array, so the hot loop does
+  * no allocation and no per-pair variance math. */
+case class VecScaledL2(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def et(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"need array, got $other")
+  }
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+  private def jget(arr: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  override def nullSafeEval(l: Any, r: Any, s3: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val w = s3.asInstanceOf[ArrayData]
+    val (ea, eb, ew) = (et(first), et(second), et(third))
+    val n = math.min(math.min(a.numElements(), b.numElements()), w.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = get(a, i, ea) - get(b, i, eb)
+      s += (d * d) / get(w, i, ew)
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, w) => {
+      val (i, n, s, d) =
+        (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("d"))
+      s"""
+       |int $n = java.lang.Math.min(java.lang.Math.min($a.numElements(), $b.numElements()), $w.numElements());
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = ${jget(a, i, et(first))} - ${jget(b, i, et(second))};
+       |  $s += ($d * $d) / ${jget(w, i, et(third))};
+       |}
+       |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s2: Expression, t: Expression): Expression =
+    copy(first = f, second = s2, third = t)
+}
+
 /** Fused cosine: dot, |a|², |b|² in one pass (three independent left
   * folds), result dot/sqrt(n2a*n2b) — associating exactly like
   * Vec.sqlCosine. */

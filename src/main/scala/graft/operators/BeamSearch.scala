@@ -42,9 +42,11 @@ object BeamSearch {
         .distinct()
         .join(visited.withColumn("seen", lit(1)), Seq("qid", "bid"), "left_anti")
       val scoredNew = scoreOf(expanded)
-      visited = visited.union(scoredNew.select(col("qid"), col("bid"))).cache()
+      // localCheckpoint: cut the per-round lineage so round r doesn't
+      // replan/recompute rounds < r (graph traversals deepen plans fast)
+      visited = visited.union(scoredNew.select(col("qid"), col("bid"))).localCheckpoint()
       beam = TopK.perGroup(beam.union(scoredNew), "qid", "bid", "dist", ef, asc = true)
-        .select(col("qid"), col("bid"), col("dist")).cache()
+        .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
     }
     TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true)
   }

@@ -45,29 +45,32 @@ object DedupQs {
 
   // ---- MinHash LSH ----
 
-  /** doc_id + distinct 3-word shingles. */
+  /** doc_id + distinct 3-word shingles + their 31-bit hashes (one MD5
+    * pass; every MinHash derives from `hs` with integer ops). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), wordShingles(words(col("text")), 3).as("sh"))
+      .withColumn("hs", shingleHashes(col("sh")))
 
   private val sqlShingled =
-    s"sh AS (SELECT doc_id, ${sqlWordShingles(sqlWords("text"), 3)} AS sh FROM documents)"
+    s"""sh AS (SELECT doc_id, sh, ${sqlShingleHashes("sh")} AS hs
+         FROM (SELECT doc_id, ${sqlWordShingles(sqlWords("text"), 3)} AS sh FROM documents))"""
 
   /** (band_idx, band_key, doc_id) — band key = md5 of 3 concatenated
     * MinHash values. */
   private def banded(s: SparkSession, dir: String): DataFrame = {
-    val sigs = (0 until NumHashes).map(j => minhash(col("sh"), j))
+    val sigs = (0 until NumHashes).map(j => minhash(col("hs"), j))
     val bandKeys = (0 until Bands).map { b =>
-      md5(concat(sigs(3 * b), sigs(3 * b + 1), sigs(3 * b + 2)))
+      md5(concat_ws(",", sigs(3 * b), sigs(3 * b + 1), sigs(3 * b + 2)))
     }
     shingled(s, dir)
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
   }
 
   private val sqlBanded = {
-    def sig(j: Int) = sqlMinhash("sh", j)
+    def sig(j: Int) = sqlMinhash("hs", j)
     val bandKeys = (0 until Bands)
-      .map(b => s"md5(${sig(3 * b)} || ${sig(3 * b + 1)} || ${sig(3 * b + 2)})")
+      .map(b => s"md5(CAST(${sig(3 * b)} AS VARCHAR) || ',' || CAST(${sig(3 * b + 1)} AS VARCHAR) || ',' || CAST(${sig(3 * b + 2)} AS VARCHAR))")
       .mkString(", ")
     s"""banded AS (
       SELECT doc_id, u.i AS band_idx, u.k AS bkey
@@ -81,7 +84,9 @@ object DedupQs {
   val dedupMinhash = Q(
     "dedup_minhash",
     (s, dir) => {
-      val bands = banded(s, dir)
+      // cache: the signature pipeline (9 MD5 minhashes per doc) feeds
+      // both sides of the self-join — without it Spark recomputes it
+      val bands = banded(s, dir).cache()
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -89,7 +94,7 @@ object DedupQs {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      val sh = shingled(s, dir)
+      val sh = shingled(s, dir).cache()
       cand
         .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
         .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
@@ -119,7 +124,7 @@ object DedupQs {
   val dedupMinhashGroups = Q(
     "dedup_minhash_groups",
     (s, dir) => {
-      val pairs = dedupMinhash.fn(s, dir).select(col("a"), col("b"))
+      val pairs = dedupMinhash.fn(s, dir).select(col("a"), col("b")).cache()
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         .cache()
       var labels = edges.select(col("a").as("node")).distinct()
@@ -131,10 +136,12 @@ object DedupQs {
           .join(labels, edges("b") === labels("node"))
           .groupBy(col("a").as("node2"))
           .agg(min(col("label")).as("nbr_label"))
+        // localCheckpoint truncates the per-round lineage — without it
+        // round r's plan nests all rounds < r and stage count explodes
         val updated = labels.join(nbrMin, col("node") === col("node2"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .cache()
+          .localCheckpoint()
         val changed = updated.alias("u")
           .join(labels.alias("l"), col("u.node") === col("l.node"))
           .filter(col("u.label") =!= col("l.label")).count()
@@ -190,7 +197,7 @@ object DedupQs {
   val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val sim = simhashDoc(s, dir)
+      val sim = simhashDoc(s, dir).cache()
       val bandKeys = (0 until 4).map(b =>
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)))
       val bands = sim.select(col("doc_id"), col("simhash"),

@@ -123,20 +123,24 @@ object VectorQs2 {
   val calibratedTopk = Q(
     "calibrated_topk",
     (s, dir) => {
-      val varr = varArrays(s, dir)
+      val varr = varArrays(s, dir).cache()
+      // fused denominators precomputed once per (query-label,
+      // base-label) pair — |labels|² tiny rows — so the per-pair hot
+      // loop (VecScaledL2) does zero allocation and no variance math
+      val lp = varr.select(col("label").as("ql"), col("varr").as("qvar"))
+        .crossJoin(varr.select(col("label").as("bl"), col("varr").as("bvar")))
+        .select(col("ql"), col("bl"),
+          zip_with(col("qvar"), col("bvar"),
+            (a, bb) => lit(0.5) * a + lit(0.5) * bb + lit(1.0e-6)).as("den"))
       val emb = Tables.t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), Vec.asD(col("embedding")).as("qv"), col("label").as("ql"))
-        .join(broadcast(varr.select(col("label").as("ql"), col("varr").as("qvar"))), Seq("ql"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("ql"))
       val b = emb.filter(col("vec_id") % 50 =!= 0)
-        .select(col("vec_id").as("bid"), Vec.asD(col("embedding")).as("bv"), col("label").as("bl"))
-        .join(broadcast(varr.select(col("label").as("bl"), col("varr").as("bvar"))), Seq("bl"))
-      val num = zip_with(col("qv"), col("bv"), (x, y) => (x - y) * (x - y))
-      val den = zip_with(col("qvar"), col("bvar"),
-        (a, bb) => lit(0.5) * a + lit(0.5) * bb + lit(1.0e-6))
-      val d2 = Vec.fsum(zip_with(num, den, (n, d) => n / d))
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("label").as("bl"))
       val scoredP = b.crossJoin(broadcast(q))
-        .select(col("qid"), col("bid"), d2.as("dist2"))
+        .join(broadcast(lp), Seq("ql", "bl"))
+        .select(col("qid"), col("bid"),
+          Vec.scaledL2Fast(col("qv"), col("bv"), col("den")).as("dist2"))
       TopK.perGroup(scoredP, "qid", "bid", "dist2", 5, asc = true)
         .orderBy(col("qid"), col("rnk"))
     },
