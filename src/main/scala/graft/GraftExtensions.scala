@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{VecCosine, VecDot, VecL2Sq, VecScaledL2}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark SQL integration point: `spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) registers the codegen'd
+  * vector kernels as SQL functions, so `spark.sql("SELECT vec_cosine(a,b)
+  * ...")` works anywhere the DataFrame API does.
+  *
+  * This is the (c) extension route of the design rules: custom Catalyst
+  * expressions surfaced through SparkSessionExtensions — no fork, no
+  * UDF registry, full codegen. For an already-running session (where
+  * the extensions config can no longer apply) use
+  * `GraftFunctions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - left-fold dot product of two vectors"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance"),
+      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))),
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity"),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))),
+    (FunctionIdentifier("vec_scaled_l2"),
+      info("vec_scaled_l2", "vec_scaled_l2(a, b, scale) - sum (a-b)^2/scale"),
+      (args: Seq[Expression]) => VecScaledL2(args(0), args(1), args(2))))
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.registerFunctions(spark, all)
+}
