@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Vec
-import graft.operators.TopK
+import graft.operators.{BruteForce, TopK}
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,6 +48,13 @@ object VectorQs {
   }
 
   def gtTopk(s: SparkSession, dir: String, metric: String): DataFrame =
+    BruteForce.topk(bSide(s, dir), qSide(s, dir), metric, K)
+      .orderBy(col("qid"), col("rnk"))
+
+  /** Join+aggregate formulation of gtTopk — same results bit-for-bit
+    * (spec-enforced); kept as the reference implementation for the
+    * BruteForce kernel and for plans where queries can't broadcast. */
+  def gtTopkJoin(s: SparkSession, dir: String, metric: String): DataFrame =
     TopK.perGroup(scored(s, dir, metric), "qid", "bid", "score",
         K, asc = metric == "l2")
       .orderBy(col("qid"), col("rnk"))
@@ -55,14 +62,13 @@ object VectorQs {
   /** Exact kNN self-graph (k=5, L2): reference build_learn_base_knn
     * (roargraph_python.py:155-162) generalized to the base set. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val a = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id").as("src"), col("embedding").as("av"))
-    val b = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id").as("dst"), col("embedding").as("bv"))
-    val pairs = a.crossJoin(broadcast(b))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), Vec.l2Fast(col("av"), col("bv")).as("dist"))
-    TopK.perGroup(pairs, "src", "dst", "dist", 5, asc = true)
+    val all = Tables.t(s, dir, "embeddings")
+    BruteForce.topk(
+      all.select(col("vec_id").as("bid"), col("embedding").as("bv")),
+      all.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "l2", 5, excludeSelf = true)
+      .select(col("qid").as("src"), col("rnk"), col("bid").as("dst"),
+        col("score").as("dist"))
       .orderBy(col("src"), col("rnk"))
   }
 
