@@ -27,13 +27,26 @@ object BeamSearch {
       base: DataFrame,
       entry: Long,
       ef: Int,
+      rounds: Int): DataFrame =
+    runFromSeeds(edges, queries, base,
+      queries.select(col("qid")).withColumn("bid", lit(entry)), ef, rounds)
+
+  /** Multi-entry variant (Idea-1023.md MEAR: several anchor seeds per
+    * query instead of a single global entry point). `seeds` = (qid,
+    * bid) initial frontier. */
+  def runFromSeeds(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      seeds: DataFrame,
+      ef: Int,
       rounds: Int): DataFrame = {
     val scoreOf: DataFrame => DataFrame = cand =>
       cand.join(base, Seq("bid"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
 
-    var beam = scoreOf(queries.select(col("qid")).withColumn("bid", lit(entry)))
+    var beam = scoreOf(seeds.select(col("qid"), col("bid")))
     var visited = beam.select(col("qid"), col("bid"))
     for (_ <- 1 to rounds) {
       val frontier = beam.select(col("qid"), col("bid").as("src"))

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.functions.Vec
+import graft.operators.{BeamSearch, BruteForce, Ivf, TopK}
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Family A completion: the HNSW-shaped surface of the reference
+  * (hnsw_cosine*.py) re-expressed as batch operators — layered graph
+  * build, attribute-filtered search, multi-entry search, and the
+  * recall-vs-parameter evaluation sweep. */
+object HnswQs {
+
+  private val MaxLevel = 2
+  private val LevelK = 4
+
+  /** Geometric level assignment with integer ops only (portable to the
+    * oracle): level = number of trailing base-4 "zero digits" of a
+    * 31-bit md5-derived hash — P(level ≥ l) = 4^-l, the reference's
+    * geometric _assign_level (hnsw_cosine_status_high.py:112-119) with
+    * m_L = 1/ln(4), minus engine-dependent log/rng. */
+  private def levelCol(id: Column): Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long").bitwiseAND(lit(0x7fffffffL))
+    (1 to MaxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(h % lit(math.pow(4, l).toLong) === 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  private def sqlLevel(id: String): String = {
+    val h = s"(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT & 2147483647)"
+    (1 to MaxLevel).foldLeft("0") { (acc, l) =>
+      s"CASE WHEN $h % ${math.pow(4, l).toLong} = 0 THEN $l ELSE $acc END"
+    }
+  }
+
+  /** Multi-level kNN edge table: nodes with level ≥ l form layer l's
+    * graph (k=4, L2) — the HNSW build artifact as one DataFrame. */
+  val hnswLayers = Q(
+    "hnsw_layers",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), levelCol(col("vec_id")).as("lvl"))
+      (0 to MaxLevel).map { l =>
+        val nodes = emb.filter(col("lvl") >= l)
+        BruteForce.topk(
+          nodes.select(col("vec_id").as("bid"), col("embedding").as("bv")),
+          nodes.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "l2", LevelK, excludeSelf = true)
+          .select(lit(l).as("level"), col("qid").as("src"), col("rnk"),
+            col("bid").as("dst"), col("score").as("dist"))
+      }.reduce(_.union(_))
+        .orderBy(col("level"), col("src"), col("rnk"))
+    },
+    Some {
+      val levels = (0 to MaxLevel).map { l =>
+        s"""
+        SELECT $l AS level, src, rnk, dst, dist FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 sqrt(${Vec.sqlL2sq("a.v", "b.v")}) AS dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY sqrt(${Vec.sqlL2sq("a.v", "b.v")}) ASC, b.vec_id) AS INT) AS rnk
+          FROM lv a CROSS JOIN lv b
+          WHERE a.lvl >= $l AND b.lvl >= $l AND a.vec_id <> b.vec_id)
+        WHERE rnk <= $LevelK"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH lv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         ${sqlLevel("vec_id")} AS lvl
+                  FROM embeddings)
+      SELECT * FROM ($levels)
+      ORDER BY level, src, rnk
+      """
+    })
+
+  /** Attribute-filtered exact top-k: search restricted to base rows
+    * whose label matches the query's — the reference's allowed-subset
+    * search (hnsw_cosine_status_high.py:121-233
+    * select_candidate_ids/_search_layer_allowed) in its exact form. */
+  val filteredTopk = Q(
+    "filtered_topk",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("lbl"))
+      val b = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("label").as("lbl"))
+      val scored = b.join(broadcast(q), Seq("lbl"))
+        .select(col("qid"), col("bid"), Vec.cosineFast(col("qv"), col("bv")).as("score"))
+      TopK.perGroup(scored, "qid", "bid", "score", 5, asc = false)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id % 50 = 0),
+           b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv, label FROM embeddings WHERE vec_id % 50 <> 0),
+           sc AS (SELECT qid, bid, ${Vec.sqlCosine("qv", "bv")} AS score
+                  FROM b JOIN q USING (label)),
+           r AS (SELECT qid, bid, score,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS INT) AS rnk
+                 FROM sc)
+      SELECT qid, rnk, bid, score FROM r WHERE rnk <= 5
+      ORDER BY qid, rnk
+    """))
+
+  /** Multi-entry beam search: per-query seeds = the base nodes nearest
+    * each IVF centroid, ranked by query distance, top-3 as entries
+    * (MEAR multi-entry seeds, Idea-1023.md). Rows-only (iterative). */
+  val multiEntrySearch = Q(
+    "graph_multi_entry_search",
+    (s, dir) => {
+      val edges = VectorQs2.roarProjectionGraph.fn(s, dir)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val emb = Tables.t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = Ivf.centroids(emb.filter(col("vec_id") % 50 =!= 0), 8, 2)
+      // anchor node per centroid = nearest base vector
+      val anchors = BruteForce.topk(
+        base,
+        cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+        "l2", 1)
+        .select(col("bid")).distinct()
+      // per-query: rank anchors by distance, take 3 as seeds
+      val seeds = TopK.perGroup(
+        queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
+          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
+        "qid", "bid", "d", 3, asc = true)
+        .select(col("qid"), col("bid"))
+      BeamSearch.runFromSeeds(edges, queries, base, seeds, ef = 10, rounds = 3)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  /** Recall-vs-parameter sweep (reference benchmark CSVs,
+    * README_RoarGraph.md:56-112 / benchmark_hnsw_vs_roargraph.py):
+    * IVF recall@10 against exact L2 for nprobe ∈ {1,2,4}. Rows-only
+    * (iterative k-means upstream). */
+  val annQualitySweep = Q(
+    "ann_quality_sweep",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val baseRaw = emb.filter(col("vec_id") % 50 =!= 0)
+      val cents = Ivf.centroids(baseRaw, 16, 3).localCheckpoint()
+      val base = Ivf.assign(baseRaw, cents).localCheckpoint()
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val gt = VectorQs.gtTopk(s, dir, "l2").select(col("qid"), col("bid"))
+        .localCheckpoint()
+      val nGt = gt.count().toDouble
+      (Seq(1, 2, 4).map { np =>
+        val hits = Ivf.search(base, cents, queries, np, 10)
+          .select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
+        (np, hits / nGt)
+      }).foldLeft(Seq.empty[(String, Int, Double)]) { (acc, r) =>
+        acc :+ ("ivf", r._1, r._2)
+      } match {
+        case rows =>
+          import s.implicits._
+          rows.toDF("method", "nprobe", "recall").orderBy(col("nprobe"))
+      }
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(hnswLayers, filteredTopk, multiEntrySearch, annQualitySweep)
+}
