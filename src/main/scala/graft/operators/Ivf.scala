@@ -26,15 +26,13 @@ object Ivf {
       .withColumn("cid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("cid"))).cast("long") - 1)
       .select(col("cid"), col("cv")).cache()
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
     for (_ <- 1 to iters) {
       val assigned = assign(emb, cents)
       val next = assigned
-        .select(col("cid"), posexplode(Vec.asD(col("embedding"))).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim").as("dim"), col("m").as("m")))).as("dm"))
-        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cv"))
+        .agg(Moments.arrayAvg(dim)(col("embedding")).as("cv"))
         .cache()
       next.count() // materialize before unpersisting parent
       cents = next

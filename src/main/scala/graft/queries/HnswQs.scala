@@ -141,26 +141,36 @@ object HnswQs {
   val annQualitySweep = Q(
     "ann_quality_sweep",
     (s, dir) => {
+      import s.implicits._
       val emb = Tables.t(s, dir, "embeddings")
       val baseRaw = emb.filter(col("vec_id") % 50 =!= 0)
-      val cents = Ivf.centroids(baseRaw, 16, 3).localCheckpoint()
+      val cents = Ivf.centroids(baseRaw, 16, 2).localCheckpoint()
       val base = Ivf.assign(baseRaw, cents).localCheckpoint()
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val q2 = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val gt = VectorQs.gtTopk(s, dir, "l2").select(col("qid"), col("bid"))
         .localCheckpoint()
       val nGt = gt.count().toDouble
-      (Seq(1, 2, 4).map { np =>
-        val hits = Ivf.search(base, cents, queries, np, 10)
+      // score candidates ONCE with the cell's probe rank attached, then
+      // each nprobe sweep point is a filter + top-k over the same rows
+      val maxProbe = 4
+      val probed = TopK.perGroup(
+        q2.crossJoin(broadcast(cents))
+          .select(col("qid").as("g"), col("cid"),
+            graft.functions.Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
+        "g", "cid", "d2", maxProbe, asc = true)
+        .select(col("g").as("qid"), col("cid"), col("rnk").as("cell_rnk"))
+      val cand = base.join(probed.join(q2, Seq("qid")), Seq("cid"))
+        .select(col("qid"), col("vec_id").as("bid"), col("cell_rnk"),
+          graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
+        .localCheckpoint()
+      val rows = Seq(1, 2, 4).map { np =>
+        val hits = TopK.perGroup(
+          cand.filter(col("cell_rnk") <= np), "qid", "bid", "dist", 10, asc = true)
           .select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
-        (np, hits / nGt)
-      }).foldLeft(Seq.empty[(String, Int, Double)]) { (acc, r) =>
-        acc :+ ("ivf", r._1, r._2)
-      } match {
-        case rows =>
-          import s.implicits._
-          rows.toDF("method", "nprobe", "recall").orderBy(col("nprobe"))
+        ("ivf", np, hits / nGt)
       }
+      rows.toDF("method", "nprobe", "recall").orderBy(col("nprobe"))
     },
     None)
 

@@ -203,19 +203,19 @@ object VectorQs {
   val modalityStats = Q(
     "modality_stats",
     (s, dir) => {
+      // one-pass typed moments (Moments.scala): no ×64 row explosion,
+      // one shuffle; integer sums equal the oracle's decimal sums exactly
       Tables.t(s, dir, "embeddings")
-        .select(col("label"), posexplode(Vec.asD(col("embedding"))).as(Seq("dim", "x")))
-        .select(col("label"), col("dim"),
-          floor(col("x") * lit(1000000.0) + lit(0.5)).as("xq"))
-        .groupBy(col("label"), col("dim"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("xq").cast(DecimalType(38, 0))).cast("double").as("sum_q"),
-          sum((col("xq") * col("xq")).cast(DecimalType(38, 0))).cast("double").as("sumsq_q"))
+        .groupBy(col("label"))
+        .agg(graft.operators.Moments.moments(64)(col("embedding")).as("m"))
+        .select(col("label"), col("m.n").as("n"),
+          posexplode(arrays_zip(col("m.sums"), col("m.sumsqs"))).as(Seq("dim", "z")))
         .select(
           col("label"), col("dim"), col("n"),
-          (col("sum_q") / col("n") / lit(1000000.0)).as("mean"),
-          ((col("sumsq_q") - col("sum_q") * col("sum_q") / col("n")) / col("n") / lit(1.0e12)).as("variance"))
+          (col("z.sums").cast("double") / col("n") / lit(1000000.0)).as("mean"),
+          ((col("z.sumsqs").cast("double")
+            - col("z.sums").cast("double") * col("z.sums").cast("double") / col("n"))
+            / col("n") / lit(1.0e12)).as("variance"))
         .orderBy(col("label"), col("dim"))
     },
     Some("""

@@ -87,21 +87,18 @@ object VectorQs2 {
 
   // ---- LC-CMD calibrated top-k (Idea-1023.md §Rerank) ----
 
-  /** Per-label variance arrays (quantized-exact, see modality_stats). */
+  /** Per-label variance arrays (quantized-exact, see modality_stats) —
+    * one-pass typed moments, variances assembled by array transform
+    * (no explode, no re-collection). */
   private def varArrays(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
-      .select(col("label"), posexplode(Vec.asD(col("embedding"))).as(Seq("dim", "x")))
-      .select(col("label"), col("dim"), floor(col("x") * lit(1000000.0) + lit(0.5)).as("xq"))
-      .groupBy(col("label"), col("dim"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("xq").cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double").as("sq"),
-        sum((col("xq") * col("xq")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double").as("sqq"))
-      .select(col("label"), col("dim"),
-        (((col("sqq") - col("sq") * col("sq") / col("n")) / col("n")) / lit(1.0e12)).as("variance"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim").as("dim"), col("variance").as("v")))).as("dv"))
-      .select(col("label"), transform(col("dv"), e => e.getField("v")).as("varr"))
+      .agg(graft.operators.Moments.moments(64)(col("embedding")).as("m"))
+      .select(col("label"),
+        zip_with(col("m.sums"), col("m.sumsqs"), (sq, sqq) =>
+          (sqq.cast("double")
+            - sq.cast("double") * sq.cast("double") / col("m.n"))
+            / col("m.n") / lit(1.0e12)).as("varr"))
 
   private val sqlVarArrays = s"""
     vx AS (
