@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `GraftFunctions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // bounded-memory rewrite of row_number-window top-k (plans.WindowTopKRule)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
+  }
 }
 
 object GraftFunctions {
