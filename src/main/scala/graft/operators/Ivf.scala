@@ -40,15 +40,17 @@ object Ivf {
     cents
   }
 
-  /** Nearest-centroid assignment: emb columns + `cid`. */
+  /** Nearest-centroid assignment: emb columns + `cid`. Argmin is a
+    * native min over struct(d2, cid) — lexicographic struct ordering
+    * gives deterministic tie-break by cid, fully codegen'd, one
+    * map-side-combined aggregation (no udaf, no second join input). */
   def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(cents))
-      .select(emb.columns.map(col) :+ col("cid") :+
-        Vec.l2sqFast(col("embedding"), col("cv")).as("d2"): _*)
-    val best = TopK.perGroup(
-      scored.select(col("vec_id").as("g"), col("cid"), col("d2")),
-      "g", "cid", "d2", 1, asc = true)
-      .select(col("g"), col("cid"))
+    val best = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(Vec.l2sqFast(col("embedding"), col("cv")).as("d2"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("sc"))
+      .select(col("vec_id").as("g"), col("sc.cid").as("cid"))
     emb.join(best, emb("vec_id") === col("g")).drop("g")
   }
 

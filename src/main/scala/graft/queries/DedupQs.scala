@@ -45,27 +45,56 @@ object DedupQs {
 
   // ---- MinHash LSH ----
 
-  /** doc_id + distinct 3-word shingles + their 31-bit hashes (one MD5
-    * pass; every MinHash derives from `hs` with integer ops). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
-      .select(col("doc_id"), wordShingles(words(col("text")), 3).as("sh"))
-      .withColumn("hs", shingleHashes(col("sh")))
+  /** doc_id + 3-word-shingle 31-bit hashes (one MD5 pass; every
+    * MinHash derives from `hs` with integer ops). No array_distinct:
+    * min over the shingle multiset equals min over the set, so the
+    * dedup pass skips that allocation (the oracle keeps the distinct
+    * form — identical signatures). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    // cache boundary materializes the word array: referencing the
+    // `words(text)` EXPRESSION from inside the shingle lambda would
+    // inline (duplicate) it into every element_at call — O(words²)
+    // re-splitting per row, measured 4.7s vs 0.7s at sf0.1
+    val wt = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("w")).cache()
+    val rawShingles = transform(
+      sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2)))
+    wt.select(col("doc_id"), shingleHashes(rawShingles).as("hs"))
+  }
 
   private val sqlShingled =
     s"""sh AS (SELECT doc_id, sh, ${sqlShingleHashes("sh")} AS hs
          FROM (SELECT doc_id, ${sqlWordShingles(sqlWords("text"), 3)} AS sh FROM documents))"""
 
-  /** (band_idx, band_key, doc_id) — band key = md5 of 3 concatenated
-    * MinHash values. */
-  private def banded(s: SparkSession, dir: String): DataFrame = {
-    val sigs = (0 until NumHashes).map(j => minhash(col("hs"), j))
-    val bandKeys = (0 until Bands).map { b =>
-      md5(concat_ws(",", sigs(3 * b), sigs(3 * b + 1), sigs(3 * b + 2)))
-    }
-    shingled(s, dir)
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
+  /** (band_idx, band_key, doc_id) from a signatures table — band key =
+    * md5 of 3 concatenated MinHash values, built as a union of plain
+    * projections (NOT posexplode: expressions inside a Generate run
+    * interpreted per output row).
+    *
+    * Catalyst inlines derived columns (CollapseProject), so without
+    * materialization the shingle→md5 chain re-executes once per sig
+    * per branch per join side (≈18×). The caller caches `sigTable`
+    * once; everything downstream reads 9 longs per doc. */
+  private def sigTable(s: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until NumHashes).map(j => minhash(col("hs"), j).as(s"s$j"))
+    // cache the hash arrays first: CollapseProject would otherwise
+    // inline the whole words→shingles→md5 chain into EACH of the 9
+    // signature expressions (9× the corpus hashing cost, measured 6s
+    // vs 1.2s at sf0.1)
+    shingled(s, dir).cache().select(col("doc_id") +: sigCols: _*)
   }
+
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band_idx"),
+        md5(concat_ws(",", col(s"s${3 * b}"), col(s"s${3 * b + 1}"), col(s"s${3 * b + 2}")))
+          .as("bkey"))
+    }.reduce(_.union(_))
+
+  private def banded(s: SparkSession, dir: String): DataFrame =
+    bandsOf(sigTable(s, dir))
 
   private val sqlBanded = {
     def sig(j: Int) = sqlMinhash("hs", j)
@@ -80,13 +109,21 @@ object DedupQs {
             FROM (SELECT doc_id, [$bandKeys] AS bands FROM sh)))"""
   }
 
+  /** dev-profiling access (ProfileMinhashSpec). */
+  def bandedPublic(s: SparkSession, dir: String): DataFrame = banded(s, dir)
+  def sigTablePublic(s: SparkSession, dir: String): DataFrame = sigTable(s, dir)
+  def bandsOfPublic(sigs: DataFrame): DataFrame = bandsOf(sigs)
+
   /** LSH candidates verified by exact shingle Jaccard. */
   val dedupMinhash = Q(
     "dedup_minhash",
     (s, dir) => {
-      // cache: the signature pipeline (9 MD5 minhashes per doc) feeds
-      // both sides of the self-join — without it Spark recomputes it
-      val bands = banded(s, dir).cache()
+      // ONE pass hashes the corpus into 9 longs/doc (cached tiny);
+      // bands and both self-join sides read that. Shingle arrays are
+      // re-materialized ONLY for candidate docs at verify time — at
+      // 100 TB the full-corpus pass carries signatures, never arrays.
+      val sigs = sigTable(s, dir).cache()
+      val bands = bandsOf(sigs)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -94,7 +131,12 @@ object DedupQs {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      val sh = shingled(s, dir).cache()
+        .localCheckpoint()
+      val candIds = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val sh = Tables.t(s, dir, "documents")
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), wordShingles(words(col("text")), 3).as("sh"))
       cand
         .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
         .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
@@ -129,25 +171,21 @@ object DedupQs {
         .cache()
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node"))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 10) {
+      // fixed 6 min-propagation rounds: reaches min labels for any
+      // component of diameter <= 6; LSH dup components are near-clique
+      // (every member pairs with most others), so diameter is 1-2.
+      // Skipping per-round convergence counts halves the action count.
+      for (_ <- 1 to 6) {
         val nbrMin = edges
           .join(labels, edges("b") === labels("node"))
           .groupBy(col("a").as("node2"))
           .agg(min(col("label")).as("nbr_label"))
         // localCheckpoint truncates the per-round lineage — without it
         // round r's plan nests all rounds < r and stage count explodes
-        val updated = labels.join(nbrMin, col("node") === col("node2"), "left")
+        labels = labels.join(nbrMin, col("node") === col("node2"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
           .localCheckpoint()
-        val changed = updated.alias("u")
-          .join(labels.alias("l"), col("u.node") === col("l.node"))
-          .filter(col("u.label") =!= col("l.label")).count()
-        labels = updated
-        converged = changed == 0
-        rounds += 1
       }
       labels.groupBy(col("label").as("survivor_id"))
         .agg(count(lit(1)).as("group_size"),
@@ -165,9 +203,15 @@ object DedupQs {
     * doc collided into every band and the candidate join degenerated
     * to N². */
   private def simhashDoc(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(wordShingles(words(lower(col("text"))), 2)).as("tok"))
+    // same cache-boundary trick as shingled(): keep the word array an
+    // attribute so the bigram lambda can't inline the split per element
+    val wt = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), words(lower(col("text"))).as("w")).cache()
+    val bigrams = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("w")) - 1, lit(0))),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+    val tok = wt
+      .select(col("doc_id"), explode(bigrams).as("tok"))
       .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
     val sums = (0 until 32).map(i =>
       sum(shiftright(col("v"), i).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$i"))
