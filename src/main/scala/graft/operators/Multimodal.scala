@@ -66,6 +66,20 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame sampling for video-like payloads: every `stride`-th frame
+    * of the declared frame count becomes a row (doc_id, frame_idx,
+    * frame binary). The FRAME DECODE IS A STUB (deterministic slice of
+    * the payload); the explode shape, per-frame binary column, and
+    * downstream per-frame feature extraction are the real pipeline. */
+  def sampleFrames(man: DataFrame, stride: Int): DataFrame = {
+    val nFrames = (pmod(col("doc_id"), lit(16)) + 1).cast("int")
+    man.select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // stub "frame": rotating 4-byte window of the payload
+        expr("substring(payload, pmod(frame_idx * 4, 13) + 1, 4)").as("frame"))
+  }
+
   /** Deterministic stand-in for image decode + feature extraction. */
   private def fakeDecode(payload: Array[Byte]): (Double, String) = {
     var s = 0L

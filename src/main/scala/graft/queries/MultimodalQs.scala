@@ -18,5 +18,18 @@ object MultimodalQs {
     },
     None)
 
-  val qs: Seq[Q] = Seq(mmManifest)
+  /** Frame sampling + per-frame stats (video path of family E). */
+  val mmFrames = Q(
+    "mm_frames",
+    (s, dir) => {
+      val man = Multimodal.manifest(Tables.t(s, dir, "documents"))
+      Multimodal.sampleFrames(man, stride = 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame"))).as("bytes_sampled"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(mmManifest, mmFrames)
 }
