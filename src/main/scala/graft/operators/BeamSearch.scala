@@ -47,17 +47,18 @@ object BeamSearch {
         .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
 
     var beam = scoreOf(seeds.select(col("qid"), col("bid")))
-    var visited = beam.select(col("qid"), col("bid"))
     for (_ <- 1 to rounds) {
       val frontier = beam.select(col("qid"), col("bid").as("src"))
       val expanded = frontier.join(edges, Seq("src"))
         .select(col("qid"), col("dst").as("bid"))
         .distinct()
-        .join(visited.withColumn("seen", lit(1)), Seq("qid", "bid"), "left_anti")
       val scoredNew = scoreOf(expanded)
+      // no visited-set anti-join: revisited nodes score identically
+      // (deterministic distance) and TopKAgg collapses exact-duplicate
+      // (score, id) candidates, so re-expansion is only wasted work on
+      // the small frontier, not a correctness concern.
       // localCheckpoint: cut the per-round lineage so round r doesn't
       // replan/recompute rounds < r (graph traversals deepen plans fast)
-      visited = visited.union(scoredNew.select(col("qid"), col("bid"))).localCheckpoint()
       beam = TopK.perGroup(beam.union(scoredNew), "qid", "bid", "dist", ef, asc = true)
         .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
     }

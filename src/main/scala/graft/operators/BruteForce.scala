@@ -23,6 +23,29 @@ import org.apache.spark.sql.DataFrame
   */
 object BruteForce {
 
+  /** Plan-integrated variant: same kernel as a custom LogicalPlan +
+    * SparkStrategy + SparkPlan (plans.VectorTopKJoin), visible in
+    * EXPLAIN with SQL metrics. Self-registers the strategy on the
+    * session (also injectable via GraftExtensions). */
+  def topkPlan(
+      base: DataFrame,
+      queries: DataFrame,
+      metric: String,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = base.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.VectorTopKJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.VectorTopKJoinStrategy
+    }
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    val node = graft.plans.VectorTopKJoin(
+      bc.planOf(queries.select(col("qid"), col("qv"))),
+      bc.planOf(base.select(col("bid"), col("bv"))),
+      metric, k, excludeSelf)
+    TopK.perGroup(bc.ofRows(spark, node), "qid", "bid", "score", k, asc = metric == "l2")
+  }
+
   /** @param base    (bid: long, bv: array<float>)
     * @param queries (qid: long, qv: array<float>) — must fit in memory
     * @param metric  cosine | l2 | ip

@@ -40,6 +40,9 @@ final class TopKAgg(k: Int, asc: Boolean)
     var pos = p.size
     while (pos > 0 && beats(s, id, p.scores(pos - 1), p.ids(pos - 1))) pos -= 1
     if (pos >= k) return
+    // exact-duplicate (score, id) candidates collapse (lets callers
+    // like BeamSearch feed revisited nodes without a visited-set join)
+    if (pos > 0 && p.scores(pos - 1) == s && p.ids(pos - 1) == id) return
     var j = math.min(p.size, k - 1)
     while (j > pos) { p.scores(j) = p.scores(j - 1); p.ids(j) = p.ids(j - 1); j -= 1 }
     p.scores(pos) = s; p.ids(pos) = id
