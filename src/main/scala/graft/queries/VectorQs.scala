@@ -48,7 +48,7 @@ object VectorQs {
   }
 
   def gtTopk(s: SparkSession, dir: String, metric: String): DataFrame =
-    BruteForce.topk(bSide(s, dir), qSide(s, dir), metric, K)
+    BruteForce.topkPlan(bSide(s, dir), qSide(s, dir), metric, K)
       .orderBy(col("qid"), col("rnk"))
 
   /** Join+aggregate formulation of gtTopk — same results bit-for-bit
@@ -63,7 +63,7 @@ object VectorQs {
     * (roargraph_python.py:155-162) generalized to the base set. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.t(s, dir, "embeddings")
-    BruteForce.topk(
+    BruteForce.topkPlan(
       all.select(col("vec_id").as("bid"), col("embedding").as("bv")),
       all.select(col("vec_id").as("qid"), col("embedding").as("qv")),
       "l2", 5, excludeSelf = true)

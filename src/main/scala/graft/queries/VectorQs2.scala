@@ -171,7 +171,10 @@ object VectorQs2 {
   val roarProjectionGraph = Q(
     "roar_projection_graph",
     (s, dir) => {
-      val top10 = VectorQs.gtTopk(s, dir, "cosine")
+      // localCheckpoint: pivot and rest self-join this table, and
+      // DeduplicateRelations cannot re-instance the custom
+      // VectorTopKJoin node appearing on both sides
+      val top10 = VectorQs.gtTopk(s, dir, "cosine").localCheckpoint()
       val pivot = top10.filter(col("rnk") === 1).select(col("qid"), col("bid").as("pivot"))
       val rest = top10.filter(col("rnk") >= 2).select(col("qid"), col("bid"), col("rnk"))
       val joined = rest.join(pivot, Seq("qid"))
