@@ -6,6 +6,7 @@ object Catalog {
   val all: Seq[Q] =
     queries.Relational.qs ++ queries.Relational2.qs ++ queries.VectorQs.qs ++
       queries.VectorQs2.qs ++ queries.VectorQs3.qs ++ queries.HnswQs.qs ++
+      queries.IncrementalQs.qs ++
       queries.TextQs.qs ++ queries.DedupQs.qs ++
       queries.MultimodalQs.qs
 

@@ -295,7 +295,37 @@ object VectorQs {
       SELECT bid, dist FROM sc ORDER BY dist, bid LIMIT 1
     """))
 
+  /** Symmetric int8 scalar quantization + reconstruction error — the
+    * storage-path compression a 100 TB vector corpus runs before
+    * indexing (4× smaller than float32; brute-force kernels can score
+    * int8 directly). Pure per-row double math, fully oracle-mirrored. */
+  val vQuantize = Q(
+    "v_quantize_int8",
+    (s, dir) => {
+      val v = Vec.asD(col("embedding"))
+      val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+      val qvec = transform(v, x => floor(x / scale + lit(0.5)).cast("int"))
+      val err = Vec.fsum(zip_with(v, qvec, (x, q) => abs(x - q * scale))) / lit(64.0)
+      Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), scale.as("scale"), qvec.as("qvec"),
+          err.as("mean_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             FROM e)
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qvec,
+             list_reduce(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - CAST(floor(v[i] / scale + 0.5) AS INT) * scale)),
+               (x, y) -> x + y) / 64.0 AS mean_abs_err
+      FROM sc
+      ORDER BY vec_id
+    """))
+
   val qs: Seq[Q] = Seq(
     vNormalize, vPairDist, gtCosine, gtL2, gtIp, knnGraphQ,
-    recallEval, modalityStats, graphStats, roarEntryPoint)
+    recallEval, modalityStats, graphStats, roarEntryPoint, vQuantize)
 }
