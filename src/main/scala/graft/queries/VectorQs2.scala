@@ -50,9 +50,16 @@ object VectorQs2 {
     "simhash_ann",
     (s, dir) => {
       val emb = Tables.t(s, dir, "embeddings")
+      // per-bucket ceiling (reference caps buckets at 20k,
+      // simple_sim_hash.py:23): deterministic first-by-id keep so one
+      // hot bucket can't blow up the candidate join at scale
       val base = emb.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"),
           bucketCol(col("embedding")).as("bucket"))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("bid"))))
+        .filter(col("brn") <= 20000)
+        .drop("brn")
       val probes = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           bucketCol(col("embedding")).as("qb"))
@@ -66,9 +73,14 @@ object VectorQs2 {
         .orderBy(col("qid"), col("rnk"))
     },
     Some(s"""
-      WITH base AS (
+      WITH base0 AS (
         SELECT vec_id AS bid, v AS bv, ${sqlBucket("v")} AS bucket
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0)),
+      base AS (
+        SELECT bid, bv, bucket FROM (
+          SELECT bid, bv, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY bid) AS brn
+          FROM base0) WHERE brn <= 20000),
       qq AS (
         SELECT vec_id AS qid, v AS qv, ${sqlBucket("v")} AS qb
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0)),
