@@ -30,9 +30,14 @@ object Ivf {
       .head().getInt(0)
     for (_ <- 1 to iters) {
       val assigned = assign(emb, cents)
+      // quantized-exact moment sums (not double avg): centroids are
+      // bit-identical under any partitioning/merge order, so the whole
+      // IVF build is deterministic cross-run (argmin ties can't flip)
       val next = assigned
         .groupBy(col("cid"))
-        .agg(Moments.arrayAvg(dim)(col("embedding")).as("cv"))
+        .agg(Moments.moments(dim)(col("embedding")).as("m"))
+        .select(col("cid"), transform(col("m.sums"),
+          s => s.cast("double") / col("m.n") / lit(1000000.0)).as("cv"))
         .cache()
       next.count() // materialize before unpersisting parent
       cents = next
