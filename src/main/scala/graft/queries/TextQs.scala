@@ -143,5 +143,30 @@ object TextQs {
       ORDER BY doc_id
     """))
 
-  val qs: Seq[Q] = Seq(tokenCount, textQuality, langId, docFingerprint)
+  /** Canonical text normalization — the cleanup pass ahead of any
+    * dedup/training-data pipeline: lowercase, strip non-printable
+    * ASCII, collapse whitespace runs, trim. Emits the normalized text
+    * digest + before/after lengths (portable regex subset only). */
+  val textNormalize = Q(
+    "text_normalize",
+    (s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^\\x20-\\x7e]", " "),
+        " +", " "))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("len_raw"),
+          length(norm).as("len_norm"),
+          md5(norm).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, length(text) AS len_raw,
+             length(trim(regexp_replace(regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'), ' +', ' ', 'g'))) AS len_norm,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val qs: Seq[Q] = Seq(tokenCount, textQuality, langId, docFingerprint, textNormalize)
 }
