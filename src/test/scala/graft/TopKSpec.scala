@@ -33,6 +33,17 @@ class TopKSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("exact-duplicate (score, id) candidates collapse to one entry") {
+    val agg = new TopKAgg(5, false)
+    val xs = Seq(Scored(2.0, 7L), Scored(2.0, 7L), Scored(1.0, 3L), Scored(2.0, 7L))
+    val out = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    assert(out == Seq(Scored(2.0, 7L), Scored(1.0, 3L)))
+    // also across a merge boundary
+    val a = Seq(Scored(2.0, 7L)).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(Scored(2.0, 7L), Scored(0.5, 1L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b)) == Seq(Scored(2.0, 7L), Scored(0.5, 1L)))
+  }
+
   test("perGroup produces dense 1-based ranks per group") {
     import spark.implicits._
     val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 10L, 0.1))
