@@ -164,13 +164,17 @@ object HnswQs {
         .select(col("qid"), col("vec_id").as("bid"), col("cell_rnk"),
           graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
         .localCheckpoint()
+      val nQ = q2.count().toDouble
       val rows = Seq(1, 2, 4).map { np =>
-        val hits = TopK.perGroup(
-          cand.filter(col("cell_rnk") <= np), "qid", "bid", "dist", 10, asc = true)
+        val probedCand = cand.filter(col("cell_rnk") <= np)
+        val hits = TopK.perGroup(probedCand, "qid", "bid", "dist", 10, asc = true)
           .select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
-        ("ivf", np, hits / nGt)
+        // avg candidates scored per query — the reference benchmark's
+        // avg_visited column (README_RoarGraph.md:56)
+        val visited = probedCand.count() / nQ
+        ("ivf", np, hits / nGt, visited)
       }
-      rows.toDF("method", "nprobe", "recall").orderBy(col("nprobe"))
+      rows.toDF("method", "nprobe", "recall", "avg_visited").orderBy(col("nprobe"))
     },
     None)
 
