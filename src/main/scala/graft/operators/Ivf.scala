@@ -20,11 +20,19 @@ object Ivf {
   def centroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cents: DataFrame = emb.orderBy(col("vec_id")).limit(k)
-      .select(monotonically_increasing_id().as("cid"), Vec.asD(col("embedding")).as("cv"))
-      // k rows — keep ids stable regardless of partitioning
-      .withColumn("cid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cid"))).cast("long") - 1)
+    // init = k lowest vec_ids; cid = rank among them via a k×k
+    // count-join (k small by contract) — stable under any partitioning
+    // and no single-partition Window (keeps the "No Partition Defined"
+    // warning out of the logs so real offenders stand out)
+    val init = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), Vec.asD(col("embedding")).as("cv"))
+      .localCheckpoint()
+    val rank = init.select(col("vec_id").as("xv")).as("x")
+      .join(broadcast(init.select(col("vec_id").as("yv")).as("y")),
+        col("yv") < col("xv"), "left")
+      .groupBy(col("xv")).agg(count(col("yv")).as("cid"))
+    var cents: DataFrame = init
+      .join(rank, init("vec_id") === col("xv"))
       .select(col("cid"), col("cv")).cache()
     val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
       .head().getInt(0)

@@ -160,9 +160,13 @@ object DedupQs {
     """))
 
   /** Connected components over verified duplicate pairs → canonical
-    * survivor (min doc_id) per component. Iterative alternating
-    * min-label propagation (log-diameter rounds) — rows-only oracle
-    * (not ANSI-SQL-expressible without recursion). */
+    * survivor (min doc_id) per component, one output row per member
+    * (array-free: the driver comparer can't hash array cells).
+    * Iterative min-label propagation, run to convergence: labels only
+    * decrease, so sum(label) is a strictly-decreasing convergence
+    * witness (one tiny agg per round — no silent fixed-round cap that
+    * would mislabel a long-chain component). Oracle = recursive-CTE
+    * reachability (min reachable node per member). */
   val dedupMinhashGroups = Q(
     "dedup_minhash_groups",
     (s, dir) => {
@@ -171,11 +175,14 @@ object DedupQs {
         .cache()
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node"))
-      // fixed 6 min-propagation rounds: reaches min labels for any
-      // component of diameter <= 6; LSH dup components are near-clique
-      // (every member pairs with most others), so diameter is 1-2.
-      // Skipping per-round convergence counts halves the action count.
-      for (_ <- 1 to 6) {
+        .localCheckpoint()
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var round = 0
+      while (!converged && round < 30) {
+        round += 1
         val nbrMin = edges
           .join(labels, edges("b") === labels("node"))
           .groupBy(col("a").as("node2"))
@@ -186,13 +193,42 @@ object DedupQs {
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
           .localCheckpoint()
+        val sumNow = labelSum(labels)
+        converged = sumNow == prevSum
+        prevSum = sumNow
       }
-      labels.groupBy(col("label").as("survivor_id"))
-        .agg(count(lit(1)).as("group_size"),
-          array_sort(collect_list(col("node"))).as("members"))
-        .orderBy(col("survivor_id"))
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("group_size"))
+      labels.join(sizes, "label")
+        .select(col("label").as("survivor_id"), col("group_size"),
+          col("node").as("member"))
+        .orderBy(col("survivor_id"), col("member"))
     },
-    None)
+    Some(s"""
+      WITH RECURSIVE $sqlShingled,
+      $sqlBanded,
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.band_idx = y.band_idx AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT a, b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = a
+        JOIN sh sb ON sb.doc_id = b
+        WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= $MinhashThreshold),
+      edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+      reach(node, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+      comp AS (SELECT node, MIN(r) AS survivor_id FROM reach GROUP BY node),
+      gs AS (SELECT survivor_id, COUNT(*) AS group_size FROM comp GROUP BY survivor_id)
+      SELECT c.survivor_id AS survivor_id, gs.group_size AS group_size,
+             c.node AS member
+      FROM comp c JOIN gs USING (survivor_id)
+      ORDER BY survivor_id, member
+    """))
 
   // ---- SimHash ----
 

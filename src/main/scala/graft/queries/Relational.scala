@@ -163,9 +163,11 @@ object Relational {
         FROM events),
       s AS (
         SELECT user_id, us,
-               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END)
+               -- CAST: DuckDB windowed SUM yields HUGEINT; Spark emits
+               -- BIGINT and the driver hashes dtype-sensitively
+               CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM e)
       SELECT user_id, session_id, COUNT(*) AS n_events,
              CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000.0 AS dur_sec

@@ -3,7 +3,6 @@ package graft.queries
 import graft.functions.Vec
 import graft.operators.{BruteForce, TopK}
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -100,24 +99,31 @@ object VectorQs {
 
   // ---- the queries ----
 
+  /** Exploded (vec_id, dim, unit) form: the driver's pandas comparer
+    * can't hash array cells, so array output is forbidden in oracle'd
+    * queries (VERDICT r1 item 2). The unit array is built in a Project
+    * before posexplode (Catalyst lesson 2: generator inputs run
+    * interpreted per output row otherwise). */
   val vNormalize = Q(
     "v_normalize",
     (s, dir) => {
       Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), Vec.asD(col("embedding")).as("v"))
         .withColumn("n2", Vec.norm2(col("v")))
-        .select(
-          col("vec_id"),
-          sqrt(col("n2")).as("norm"),
-          transform(col("v"), x => x / sqrt(col("n2"))).as("unit"))
-        .orderBy(col("vec_id"))
+        .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
+        .select(col("vec_id"), sqrt(col("n2")).as("norm"),
+          posexplode(col("unit")).as(Seq("dim", "u")))
+        .select(col("vec_id"), col("norm"), col("dim"), col("u"))
+        .orderBy(col("vec_id"), col("dim"))
     },
     Some(s"""
-      SELECT vec_id, sqrt(n2) AS norm,
-             list_transform(v, x -> x / sqrt(n2)) AS unit
-      FROM (SELECT vec_id, v, ${Vec.sqlNorm2("v")} AS n2
-            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
-      ORDER BY vec_id
+      SELECT vec_id, sqrt(n2) AS norm, u.i AS dim, u.x / sqrt(n2) AS u
+      FROM (SELECT vec_id, n2,
+                   unnest(list_transform(range(1, len(v)+1),
+                                         i -> {'i': i - 1, 'x': v[i]})) AS u
+            FROM (SELECT vec_id, v, ${Vec.sqlNorm2("v")} AS n2
+                  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))
+      ORDER BY vec_id, dim
     """))
 
   val vPairDist = Q(
@@ -272,12 +278,12 @@ object VectorQs {
         .select(transform(col("dm"), e => e.getField("m")).as("cv"))
       val base = Tables.t(s, dir, "embeddings")
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      // arg-min via min(struct): map-side partial agg, no global-sort
+      // single-partition Window (VERDICT r1 item 5 — scale-killer).
       base.crossJoin(broadcast(centroid))
         .select(col("bid"), Vec.l2Fast(col("bv"), col("cv")).as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("dist"), col("bid"))))
-        .filter(col("rn") === 1)
-        .select(col("bid"), col("dist"))
+        .agg(min(struct(col("dist"), col("bid"))).as("m"))
+        .select(col("m.bid").as("bid"), col("m.dist").as("dist"))
     },
     Some(s"""
       WITH x AS (
@@ -302,27 +308,40 @@ object VectorQs {
   val vQuantize = Q(
     "v_quantize_int8",
     (s, dir) => {
+      // array-free output (VERDICT r1 item 3): explode qvec to
+      // (vec_id, dim, q) rows; array built in a Project pre-explode.
       val v = Vec.asD(col("embedding"))
       val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
-      val qvec = transform(v, x => floor(x / scale + lit(0.5)).cast("int"))
-      val err = Vec.fsum(zip_with(v, qvec, (x, q) => abs(x - q * scale))) / lit(64.0)
       Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), scale.as("scale"), qvec.as("qvec"),
-          err.as("mean_abs_err"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), v.as("v"), scale.as("scale"))
+        .withColumn("qvec",
+          transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("int")))
+        .withColumn("mean_abs_err",
+          Vec.fsum(zip_with(col("v"), col("qvec"),
+            (x, q) => abs(x - q * col("scale")))) / lit(64.0))
+        .select(col("vec_id"), col("scale"), col("mean_abs_err"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("scale"), col("dim"), col("q"),
+          col("mean_abs_err"))
+        .orderBy(col("vec_id"), col("dim"))
     },
     Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sc AS (SELECT vec_id, v,
                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-             FROM e)
-      SELECT vec_id, scale,
-             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qvec,
-             list_reduce(list_transform(range(1, len(v) + 1),
-                 i -> abs(v[i] - CAST(floor(v[i] / scale + 0.5) AS INT) * scale)),
-               (x, y) -> x + y) / 64.0 AS mean_abs_err
-      FROM sc
-      ORDER BY vec_id
+             FROM e),
+      m AS (SELECT vec_id, v, scale,
+                   list_reduce(list_transform(range(1, len(v) + 1),
+                       i -> abs(v[i] - CAST(floor(v[i] / scale + 0.5) AS INT) * scale)),
+                     (x, y) -> x + y) / 64.0 AS mean_abs_err
+            FROM sc)
+      SELECT vec_id, scale, u.i AS dim,
+             CAST(floor(u.x / scale + 0.5) AS INT) AS q, mean_abs_err
+      FROM (SELECT vec_id, scale, mean_abs_err,
+                   unnest(list_transform(range(1, len(v)+1),
+                                         i -> {'i': i - 1, 'x': v[i]})) AS u
+            FROM m)
+      ORDER BY vec_id, dim
     """))
 
   val qs: Seq[Q] = Seq(
