@@ -31,9 +31,21 @@ final case class Pool(scores: Array[Double], ids: Array[Long], var size: Int)
 final class TopKAgg(k: Int, asc: Boolean)
     extends Aggregator[Scored, Pool, Seq[Scored]] {
 
-  /** true iff (s1,i1) ranks strictly before (s2,i2). */
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+  /** true iff (s1,i1) ranks strictly before (s2,i2). NaN (e.g. cosine
+    * of a zero-norm vector) always ranks WORST in either direction —
+    * IEEE compares are all-false on NaN, so the naive form could never
+    * displace a NaN that entered a full pool and results became
+    * partition-order-dependent. */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+    if (n1 || n2) { if (n1 != n2) !n1 else i1 < i2 }
+    else if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 }
+    else i1 < i2
+  }
+
+  /** equality that treats NaN == NaN (for duplicate collapse). */
+  private def sameScore(a: Double, b: Double): Boolean =
+    a == b || (a != a && b != b)
 
   private def insert(p: Pool, s: Double, id: Long): Unit = {
     if (p.size == k && beats(p.scores(k - 1), p.ids(k - 1), s, id)) return
@@ -42,7 +54,7 @@ final class TopKAgg(k: Int, asc: Boolean)
     if (pos >= k) return
     // exact-duplicate (score, id) candidates collapse (lets callers
     // like BeamSearch feed revisited nodes without a visited-set join)
-    if (pos > 0 && p.scores(pos - 1) == s && p.ids(pos - 1) == id) return
+    if (pos > 0 && sameScore(p.scores(pos - 1), s) && p.ids(pos - 1) == id) return
     var j = math.min(p.size, k - 1)
     while (j > pos) { p.scores(j) = p.scores(j - 1); p.ids(j) = p.ids(j - 1); j -= 1 }
     p.scores(pos) = s; p.ids(pos) = id

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 import java.nio.ByteBuffer
@@ -12,14 +12,25 @@ import java.nio.ByteBuffer
   * the WindowTopKRule rewrites row_number windows into. Unlike the
   * udaf-wrapped TopKAgg, this needs no encoders (it is built directly
   * inside optimizer rules) and serializes its buffer as packed
-  * primitives. Ordering rule identical to TopKAgg: score (asc|desc)
-  * then id ascending.
+  * primitives.
+  *
+  * Ordering must mirror row_number's sort EXACTLY, including NULL and
+  * NaN placement, because the rule substitutes this aggregate for a
+  * WindowExec on arbitrary (possibly nullable) input:
+  * - NULL score/id rank per scoreNullsFirst/idNullsFirst (the window's
+  *   declared null ordering); the original NULL is carried in the pool
+  *   (flag bits per slot) and emitted back — no sentinel values.
+  * - non-null doubles compare in Spark's total sort order
+  *   (java.lang.Double.compare: NaN greatest; -0.0 is normalized to
+  *   0.0 on insert, matching UnsafeRow normalization).
   */
 case class TopKPairs(
     score: Expression,
     id: Expression,
     k: Int,
     asc: Boolean,
+    scoreNullsFirst: Boolean,
+    idNullsFirst: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKPairs.Buf] {
@@ -27,47 +38,67 @@ case class TopKPairs(
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = true))),
     containsNull = false)
 
   override def createAggregationBuffer(): TopKPairs.Buf =
-    new TopKPairs.Buf(new Array[Double](k), new Array[Long](k), 0)
+    new TopKPairs.Buf(new Array[Double](k), new Array[Long](k), new Array[Byte](k), 0)
 
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+  /** true iff entry 1 ranks strictly before entry 2 under the window's
+    * sort. flag bit0 = score NULL, bit1 = id NULL. */
+  private def beats(f1: Byte, s1: Double, i1: Long, f2: Byte, s2: Double, i2: Long): Boolean = {
+    val sn1 = (f1 & 1) != 0; val sn2 = (f2 & 1) != 0
+    if (sn1 != sn2) return sn1 == scoreNullsFirst
+    if (!sn1) {
+      val c = java.lang.Double.compare(s1, s2)
+      if (c != 0) return if (asc) c < 0 else c > 0
+    }
+    val in1 = (f1 & 2) != 0; val in2 = (f2 & 2) != 0
+    if (in1 != in2) return in1 == idNullsFirst
+    if (!in1 && i1 != i2) i1 < i2 else false
+  }
 
-  private def insert(b: TopKPairs.Buf, s: Double, id0: Long): Unit = {
-    if (b.size == k && beats(b.scores(k - 1), b.ids(k - 1), s, id0)) return
+  private def insert(b: TopKPairs.Buf, f: Byte, s: Double, id0: Long): Unit = {
+    if (b.size == k && beats(b.flags(k - 1), b.scores(k - 1), b.ids(k - 1), f, s, id0)) return
     var pos = b.size
-    while (pos > 0 && beats(s, id0, b.scores(pos - 1), b.ids(pos - 1))) pos -= 1
+    while (pos > 0 && beats(f, s, id0, b.flags(pos - 1), b.scores(pos - 1), b.ids(pos - 1))) pos -= 1
     if (pos >= k) return
     var j = math.min(b.size, k - 1)
-    while (j > pos) { b.scores(j) = b.scores(j - 1); b.ids(j) = b.ids(j - 1); j -= 1 }
-    b.scores(pos) = s; b.ids(pos) = id0
+    while (j > pos) {
+      b.scores(j) = b.scores(j - 1); b.ids(j) = b.ids(j - 1); b.flags(j) = b.flags(j - 1)
+      j -= 1
+    }
+    b.scores(pos) = s; b.ids(pos) = id0; b.flags(pos) = f
     if (b.size < k) b.size += 1
   }
 
   override def update(b: TopKPairs.Buf, input: InternalRow): TopKPairs.Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
-      val sv = s match {
-        case d: java.lang.Double => d.doubleValue()
-        case f: java.lang.Float => f.doubleValue()
-        case n: java.lang.Number => n.doubleValue()
-      }
-      val iv = i match {
-        case l: java.lang.Long => l.longValue()
-        case n: java.lang.Number => n.longValue()
-      }
-      insert(b, sv, iv)
+    var flag = 0
+    var sv = 0.0
+    s match {
+      case null => flag |= 1
+      case d: java.lang.Double => sv = d.doubleValue()
+      case f: java.lang.Float => sv = f.doubleValue()
+      case n: java.lang.Number => sv = n.doubleValue()
     }
+    if (sv == 0.0) sv = 0.0 // normalize -0.0 like UnsafeRow sort keys
+    var iv = 0L
+    i match {
+      case null => flag |= 2
+      case l: java.lang.Long => iv = l.longValue()
+      case n: java.lang.Number => iv = n.longValue()
+    }
+    insert(b, flag.toByte, sv, iv)
     b
   }
 
   override def merge(a: TopKPairs.Buf, b: TopKPairs.Buf): TopKPairs.Buf = {
     var i = 0
-    while (i < b.size) { insert(a, b.scores(i), b.ids(i)); i += 1 }
+    while (i < b.size) { insert(a, b.flags(i), b.scores(i), b.ids(i)); i += 1 }
     a
   }
 
@@ -75,17 +106,21 @@ case class TopKPairs(
     val out = new Array[Any](b.size)
     var i = 0
     while (i < b.size) {
-      out(i) = InternalRow(b.scores(i), b.ids(i))
+      val sv: Any = if ((b.flags(i) & 1) != 0) null else b.scores(i)
+      val iv: Any = if ((b.flags(i) & 2) != 0) null else b.ids(i)
+      out(i) = InternalRow(sv, iv)
       i += 1
     }
     new GenericArrayData(out)
   }
 
   override def serialize(b: TopKPairs.Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + b.size * 16)
+    val bb = ByteBuffer.allocate(4 + b.size * 17)
     bb.putInt(b.size)
     var i = 0
-    while (i < b.size) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
+    while (i < b.size) {
+      bb.put(b.flags(i)); bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1
+    }
     bb.array()
   }
 
@@ -94,7 +129,10 @@ case class TopKPairs(
     val n = bb.getInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.scores(i) = bb.getDouble(); buf.ids(i) = bb.getLong(); i += 1 }
+    while (i < n) {
+      buf.flags(i) = bb.get(); buf.scores(i) = bb.getDouble(); buf.ids(i) = bb.getLong()
+      i += 1
+    }
     buf.size = n
     buf
   }
@@ -107,5 +145,5 @@ case class TopKPairs(
 }
 
 object TopKPairs {
-  final class Buf(val scores: Array[Double], val ids: Array[Long], var size: Int)
+  final class Buf(val scores: Array[Double], val ids: Array[Long], val flags: Array[Byte], var size: Int)
 }

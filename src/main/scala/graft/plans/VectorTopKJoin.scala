@@ -97,8 +97,13 @@ case class VectorTopKJoinExec(
       val sizes = new Array[Int](nq)
       val ascL = m == "l2"
 
-      def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-        if (s1 != s2) { if (ascL) s1 < s2 else s1 > s2 } else i1 < i2
+      // NaN ranks worst in either direction — same rule as TopKAgg.beats
+      def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+        val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+        if (n1 || n2) { if (n1 != n2) !n1 else i1 < i2 }
+        else if (s1 != s2) { if (ascL) s1 < s2 else s1 > s2 }
+        else i1 < i2
+      }
 
       def insert(qi: Int, s: Double, id: Long): Unit = {
         val sz = sizes(qi)

@@ -23,14 +23,14 @@ import org.apache.spark.sql.types._
   *   UnboundedPreceding..CurrentRow row frame;
   * - order spec = (score ASC NULLS FIRST | DESC NULLS LAST, id ASC) with
   *   score of Double/Float/Integer type and id of Long/Integer type
-  *   (values round-trip exactly through the double/long pool);
+  *   (values round-trip exactly through the double/long pool). Nullable
+  *   keys are fine: the pool carries NULLs as per-slot flag bits ranked
+  *   by the window's declared null ordering, and emits the NULL back —
+  *   no sentinel values in the output, no ANSI cast of a sentinel;
   * - partition keys are plain attributes and the window child's output
   *   carries no other columns (nothing is lost by reconstructing rows
   *   from (part, score, id));
   * - filter is rn <= lit, rn < lit, or rn = 1.
-  * NULL keys rank as -∞ / Long.MinValue, matching the default
-  * NULLS FIRST (asc) / NULLS LAST (desc) positions row_number gives
-  * them (degenerate only if real -Infinity scores coexist with NULLs).
   */
 object WindowTopKRule extends Rule[LogicalPlan] {
 
@@ -70,20 +70,24 @@ object WindowTopKRule extends Rule[LogicalPlan] {
         case _ => None
       }
       id <- w.orderSpec(1).child match { case i: AttributeReference => Some(i); case _ => None }
+      idNullsFirst = w.orderSpec(1).nullOrdering == NullsFirst
       parts <- if (w.partitionSpec.forall(_.isInstanceOf[AttributeReference]))
         Some(w.partitionSpec.map(_.asInstanceOf[AttributeReference])) else None
       _ <- {
         val allowed = parts.map(_.exprId).toSet + score.exprId + id.exprId
         if (w.child.output.forall(a => allowed.contains(a.exprId))) Some(()) else None
       }
-    } yield (alias, score, id, parts, asc, k)
+    } yield (alias, score, id, parts, asc, k, idNullsFirst)
 
     matched match {
       case None => f
-      case Some((alias, score, id, parts, asc, k)) =>
-        val nullSafeScore = coalesceTo(score, Literal(Double.NegativeInfinity, DoubleType))
-        val nullSafeId = coalesceTo(id, Literal(Long.MinValue, LongType))
-        val poolFn = TopKPairs(nullSafeScore, nullSafeId, k, asc)
+      case Some((alias, score, id, parts, asc, k, idNullsFirst)) =>
+        val scoreIn = castTo(score, DoubleType)
+        val idIn = castTo(id, LongType)
+        // score null ordering is pinned by the gate (NullsFirst with ASC,
+        // NullsLast with DESC) = Spark's default = `asc` here
+        val poolFn = TopKPairs(scoreIn, idIn, k, asc,
+          scoreNullsFirst = asc, idNullsFirst = idNullsFirst)
           .toAggregateExpression()
         val poolAlias = Alias(poolFn, "graft_pool")()
         // when InferWindowGroupLimit already ran (rule registered via
@@ -96,7 +100,8 @@ object WindowTopKRule extends Rule[LogicalPlan] {
         val agg = Aggregate(parts, (parts :+ poolAlias).toSeq, aggChild)
 
         val pairType = StructType(Seq(
-          StructField("score", DoubleType), StructField("id", LongType)))
+          StructField("score", DoubleType, nullable = true),
+          StructField("id", LongType, nullable = true)))
         val posAttr = AttributeReference("graft_pos", IntegerType, nullable = false)()
         val pairAttr = AttributeReference("graft_pair", pairType, nullable = false)()
         val gen = Generate(PosExplode(poolAlias.toAttribute),
@@ -116,12 +121,9 @@ object WindowTopKRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** cast-then-coalesce so NULL ordering keys take sentinel rank. */
-  private def coalesceTo(a: AttributeReference, sentinel: Literal): Expression = {
-    val target = sentinel.dataType
-    val cast = if (a.dataType == target) a else Cast(a, target)
-    if (a.nullable) Coalesce(Seq(cast, sentinel)) else cast
-  }
+  /** null-preserving widen to the pool's primitive type. */
+  private def castTo(a: AttributeReference, target: DataType): Expression =
+    if (a.dataType == target) a else Cast(a, target)
 
   /** Filter forms: rn <= k | rn < k | rn = 1. */
   private def extractLimit(cond: Expression): Option[(AttributeReference, Int)] = cond match {

@@ -55,17 +55,19 @@ object Events {
       }
   }
 
-  /** Streaming exact dedup: normalized-content digest dropDuplicates
-    * bounded by event-time watermark — the streaming half of
-    * dedup_exact (state holds one digest per doc inside the watermark
-    * horizon, so memory is bounded at any ingest volume). Expects
-    * (ts: timestamp, text: string, id cols...). */
+  /** Streaming exact dedup: normalized-content digest deduplicated
+    * within the event-time watermark horizon — the streaming half of
+    * dedup_exact. dropDuplicatesWithinWatermark (not dropDuplicates:
+    * without the event-time column in the subset that one evicts NO
+    * state and grows unboundedly) holds one digest per doc for at most
+    * the watermark delay, so memory is bounded at any ingest volume.
+    * Expects (ts: timestamp, text: string, id cols...). */
   def dedupStream(stream: DataFrame): DataFrame =
     stream
       .withColumn("norm_md5",
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("norm_md5")
+      .dropDuplicatesWithinWatermark("norm_md5")
 
   /** Gap-based sessions (30 min inactivity) per user. */
   def sessions(stream: DataFrame): DataFrame =

@@ -72,23 +72,23 @@ class WindowTopKRuleSpec extends AnyFunSuite {
   }
 
   test("NULL ordering keys rank identically to the window form") {
-    val base = Tables.t(spark, "/root/testdata/sf0.001", "customer")
-      .select(col("c_mktsegment"), col("c_custkey"),
-        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
-          .as("c_acctbal"))
+    // ASC NULLS FIRST so the NULL-scored rows land IN the top-k and the
+    // pool's carried-NULL path (not a sentinel) is what the output shows
     val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey"))
     def run(s: SparkSession) = {
       val b = Tables.t(s, "/root/testdata/sf0.001", "customer")
         .select(col("c_mktsegment"), col("c_custkey"),
           when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
             .as("c_acctbal"))
       b.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+        .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), r.getInt(3))).toSet
     }
     val withRule = run(spark)
     val without = run(SharedSpark.session)
     assert(withRule == without && withRule.nonEmpty)
+    // NULL scores must come back as NULL, not a sentinel
+    assert(withRule.exists(_._3.isEmpty))
   }
 
   test("rule bails out on non-row_number windows") {
