@@ -28,4 +28,29 @@ object Lsh {
   /** DuckDB literal for plane j. */
   def sqlPlane(j: Int): String =
     planes(j).map(_.toString).mkString("[", ", ", "]")
+
+  // ---- banded pair-LSH bank (dedup_embedding) ----
+
+  /** 16 bands × 4 sign bits = 64 planes, distinct stream from
+    * `planes` (different seed) so the two banks are independent.
+    * Banded pair capture: P(pair shares ≥1 band key) =
+    * 1 − (1 − p^4)^16 with p = 1 − θ/π; smaller bands raise recall
+    * but grow buckets — at production scale set bandBits ≈
+    * log2(N / target_bucket_size) and add bands to recover recall. */
+  val PairBands = 16
+  val PairBandBits = 4
+
+  /** bandPlanes(band * PairBandBits + bit)(dim) ∈ [-1, 1). */
+  val bandPlanes: IndexedSeq[IndexedSeq[Double]] = {
+    var x = 0xC2B2AE3D27D4EB4FL
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    IndexedSeq.fill(PairBands * PairBandBits)(IndexedSeq.fill(Dim)(next()))
+  }
+
+  /** DuckDB literal for band plane j. */
+  def sqlBandPlane(j: Int): String =
+    bandPlanes(j).map(_.toString).mkString("[", ", ", "]")
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFns._
 import graft.functions.Vec
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -332,27 +333,89 @@ object DedupQs {
       ORDER BY a
     """))
 
-  /** Embedding-cosine near-duplicate pairs (brute-force exact; the LSH
-    * and IVF paths in family A are the at-scale candidate generators). */
+  /** Embedding-cosine near-duplicate pairs at scale: banded hyperplane
+    * LSH candidates (16 bands × 4 sign bits, simple_sim_hash.py's
+    * hyperplane signature applied pairwise like dedup_minhash's band
+    * join) verified by exact cosine ≥ threshold. No all-pairs scan, no
+    * full-table broadcast: the corpus is hashed once into 16 small band
+    * keys per vector, candidates come from an equi-join on
+    * (band_idx, band_key) with a 20k per-bucket ceiling (skew guard),
+    * and only candidate pairs are ever scored. Like every LSH dedup,
+    * recall at the threshold boundary is probabilistic —
+    * P(capture) = 1−(1−p^4)^16, p = 1−θ/π (DedupEmbeddingRecallSpec
+    * measures it against brute force); production tuning trades
+    * bandBits vs bands exactly as Lsh.bandPlanes documents. */
   val dedupEmbedding = Q(
     "dedup_embedding",
     (s, dir) => {
+      import graft.operators.Lsh
       val e = Tables.t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
-      a.crossJoin(broadcast(b))
-        .filter(col("a") < col("b"))
+      def bkeyCol(b: Int): Column =
+        (0 until Lsh.PairBandBits).map { bit =>
+          val p = typedlit(Lsh.bandPlanes(Lsh.PairBandBits * b + bit))
+          when(Vec.dotFast(col("embedding"), p) > 0, lit(1 << bit)).otherwise(lit(0))
+        }.reduce((a: Column, b: Column) => a + b).cast("int")
+      // one hashing pass → 16 ints per vector, cached; the band union
+      // and both join sides read attributes (CollapseProject would
+      // otherwise inline 64 dot products per band branch)
+      val sigs = e.select(
+        col("vec_id") +: (0 until Lsh.PairBands).map(b => bkeyCol(b).as(s"k$b")): _*).cache()
+      val bands = (0 until Lsh.PairBands).map { b =>
+        sigs.select(col("vec_id"), lit(b).as("band_idx"), col(s"k$b").as("bkey"))
+      }.reduce(_.union(_))
+        // per-bucket ceiling (same 20k cap as simhash_ann): one hot
+        // bucket must not go quadratic on a skewed corpus
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("band_idx"), col("bkey")).orderBy(col("vec_id"))))
+        .filter(col("brn") <= 20000)
+        .drop("brn")
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
         .select(col("a"), col("b"), Vec.cosineFast(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= EmbCosThreshold)
         .orderBy(col("a"), col("b"))
     },
-    Some(s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      SELECT x.vec_id AS a, y.vec_id AS b, ${Vec.sqlCosine("x.v", "y.v")} AS cos
-      FROM e x JOIN e y ON x.vec_id < y.vec_id
-      WHERE ${Vec.sqlCosine("x.v", "y.v")} >= $EmbCosThreshold
+    Some {
+      import graft.operators.Lsh
+      def sqlDotB(j: Int): String =
+        s"list_reduce(list_transform(range(1, ${Lsh.Dim} + 1), i -> v[i] * (${Lsh.sqlBandPlane(j)})[i]), (x, y) -> x + y)"
+      def sqlBkey(b: Int): String =
+        (0 until Lsh.PairBandBits)
+          .map(bit => s"CASE WHEN ${sqlDotB(Lsh.PairBandBits * b + bit)} > 0 THEN ${1 << bit} ELSE 0 END")
+          .mkString("(", " + ", ")")
+      val keyList = (0 until Lsh.PairBands).map(sqlBkey).mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sg AS (SELECT vec_id, $keyList AS ks FROM e),
+      bands AS (
+        SELECT vec_id, u.i AS band_idx, u.k AS bkey
+        FROM (SELECT vec_id,
+                     unnest(list_transform(range(1, ${Lsh.PairBands + 1}),
+                            i -> {'i': i - 1, 'k': ks[i]})) AS u
+              FROM sg)),
+      capped AS (
+        SELECT vec_id, band_idx, bkey FROM (
+          SELECT vec_id, band_idx, bkey,
+                 ROW_NUMBER() OVER (PARTITION BY band_idx, bkey ORDER BY vec_id) AS brn
+          FROM bands) WHERE brn <= 20000),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM capped x JOIN capped y
+          ON x.band_idx = y.band_idx AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+      SELECT a, b, ${Vec.sqlCosine("ea.v", "eb.v")} AS cos
+      FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+      WHERE ${Vec.sqlCosine("ea.v", "eb.v")} >= $EmbCosThreshold
       ORDER BY a, b
-    """))
+    """
+    })
 
   val qs: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupMinhashGroups, dedupSimhash,
