@@ -176,49 +176,169 @@ object VectorQs2 {
 
   // ---- RoarGraph projection graph (roargraph_python.py:233-294) ----
 
-  /** Bipartite query→base top-10 lists projected to base↔base edges:
-    * each query's nearest base (pivot) connects to the query's other
-    * neighbors (weight = neighbor rank), reverse edges added
-    * (_add_reverse_edges), degree capped at 8 per source (M_pjbp). */
+  private val MaxSel = 8 // M_pjbp: max selected neighbors per target
+  private val DegCap = 16 // M_pjbp * 2: reference reverse-edge degree cap
+
+  /** Bipartite query→base top-10 lists projected to base↔base edges
+    * with RoarGraph occlusion pruning (roargraph_python.py:177-230):
+    * EACH of a query's top-10 targets (not just the rank-1 pivot,
+    * py:239-260) gets the query's other members as candidates, sorted
+    * by base-base cosine distance to the target; a candidate is
+    * dropped when it is closer to an already-selected neighbor than to
+    * the target (the RNG diversity rule — the reference's literal code
+    * compares against candidates[0] which, being itself selected,
+    * degenerates to pivot-only selection under <=; the distance-to-
+    * target form is the rule the build intends), capped at M_pjbp=8
+    * selected. Forward + reverse edges are deduped by first emission
+    * and each source's degree is capped at M_pjbp*2=16 in emission
+    * order (reference _add_reverse_edges truncation, applied uniformly
+    * as a batch rule). Weight = base-base cosine distance.
+    *
+    * Scale shape: per query a bounded 10×10 distance matrix + a fold
+    * over ≤9 candidates — Q×100 small shuffled rows, never N². */
   val roarProjectionGraph = Q(
     "roar_projection_graph",
     (s, dir) => {
-      // localCheckpoint: pivot and rest self-join this table, and
+      // localCheckpoint: the member table self-joins, and
       // DeduplicateRelations cannot re-instance the custom
       // VectorTopKJoin node appearing on both sides
-      val top10 = VectorQs.gtTopk(s, dir, "cosine").localCheckpoint()
-      val pivot = top10.filter(col("rnk") === 1).select(col("qid"), col("bid").as("pivot"))
-      val rest = top10.filter(col("rnk") >= 2).select(col("qid"), col("bid"), col("rnk"))
-      val joined = rest.join(pivot, Seq("qid"))
-      val fwd = joined.select(col("pivot").as("src"), col("bid").as("dst"), col("rnk").as("w"))
-      val rev = joined.select(col("bid").as("src"), col("pivot").as("dst"), col("rnk").as("w"))
+      val top10 = VectorQs.gtTopk(s, dir, "cosine")
+        .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
+        .localCheckpoint()
+      val vecs = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id").as("bid"), col("embedding").as("v"))
+      val mem = top10.join(vecs, Seq("bid")).select(col("qid"), col("rnk"), col("bid"), col("v"))
+      // pairwise member-member distances, zero diagonal included so the
+      // flattened 1-based index is (r1-1)*10 + r2
+      val pr = mem.select(col("qid"), col("rnk").as("r1"), col("v").as("v1"))
+        .join(mem.select(col("qid"), col("rnk").as("r2"), col("v").as("v2")), Seq("qid"))
+        .select(col("qid"), col("r1"), col("r2"),
+          when(col("r1") === col("r2"), lit(0.0))
+            .otherwise(lit(1.0) - Vec.cosineFast(col("v1"), col("v2"))).as("d"))
+      val dm = pr.groupBy(col("qid")).agg(
+        transform(
+          array_sort(collect_list(struct(((col("r1") - 1) * 10 + col("r2")).as("k"), col("d")))),
+          x => x.getField("d")).as("dmat"))
+      val bm = top10.groupBy(col("qid")).agg(
+        transform(array_sort(collect_list(struct(col("rnk"), col("bid")))),
+          x => x.getField("bid")).as("bids"))
+      // candidates of target tr = other members sorted by (dist, rnk)
+      val cnd = pr.filter(col("r1") =!= col("r2"))
+        .groupBy(col("qid"), col("r1"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("r2")))),
+          x => x.getField("r2")).as("cands"))
+        .select(col("qid"), col("r1").as("tr"), col("cands"))
+      def dAt(c: Column, r: Column): Column =
+        element_at(col("dmat"), ((c - 1) * 10 + r).cast("int"))
+      val selectedCol = aggregate(
+        slice(col("cands"), 2, 9),
+        array(element_at(col("cands"), 1)),
+        (acc, c) => when(
+          size(acc) >= MaxSel ||
+            exists(acc, sc => dAt(c, sc) <= dAt(c, col("tr"))),
+          acc).otherwise(concat(acc, array(c))))
+      val selT = cnd.join(dm, Seq("qid")).join(bm, Seq("qid"))
+        .select(col("qid"), col("tr"), col("bids"), col("dmat"), selectedCol.as("sel"))
+      val ex = selT.select(col("qid"), col("tr"), col("bids"), col("dmat"),
+        posexplode(col("sel")).as(Seq("si0", "c")))
+      val wd = ex.select(col("qid"), col("tr"), (col("si0") + 1).as("si"), col("c"),
+        element_at(col("bids"), col("tr").cast("int")).as("tbid"),
+        element_at(col("bids"), col("c").cast("int")).as("cbid"),
+        dAt(col("c"), col("tr")).as("d"))
+      val fwd = wd.select(col("tbid").as("src"), col("cbid").as("dst"), col("d"),
+        col("qid"), col("tr"), col("si"), lit(0).as("kind"))
+      val rev = wd.select(col("cbid").as("src"), col("tbid").as("dst"), col("d"),
+        col("qid"), col("tr"), col("si"), lit(1).as("kind"))
       fwd.union(rev)
-        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
-        .filter(col("r") <= 8)
-        .select(col("src"), col("dst"), col("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src"), col("dst"))
+            .orderBy(col("qid"), col("tr"), col("si"), col("kind"))))
+        .filter(col("rn") === 1)
+        .withColumn("dr", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("qid"), col("tr"), col("si"), col("kind"))))
+        .filter(col("dr") <= DegCap)
+        .select(col("src"), col("dst"), col("d").as("w"))
         .orderBy(col("src"), col("w"), col("dst"))
     },
     Some(s"""
-      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-      b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
-      sc AS (SELECT qid, bid, ${Vec.sqlCosine("qv", "bv")} AS score FROM b CROSS JOIN q),
-      rr AS (SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS rnk FROM sc),
-      top10 AS (SELECT qid, bid, rnk FROM rr WHERE rnk <= 10),
-      pvt AS (SELECT qid, bid AS pv FROM top10 WHERE rnk = 1),
-      rest AS (SELECT qid, bid, rnk FROM top10 WHERE rnk >= 2),
-      ed AS (
-        SELECT p.pv AS src, r.bid AS dst, r.rnk AS w FROM rest r JOIN pvt p ON r.qid = p.qid
-        UNION ALL
-        SELECT r.bid AS src, p.pv AS dst, r.rnk AS w FROM rest r JOIN pvt p ON r.qid = p.qid),
-      eg AS (SELECT src, dst, MIN(w) AS w FROM ed GROUP BY src, dst),
-      cp AS (SELECT src, dst, w,
-                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY w, dst) AS r
-             FROM eg)
-      SELECT src, dst, w FROM cp WHERE r <= 8
+      WITH $sqlProjCtes
+      SELECT src, dst, d AS w FROM cp WHERE dr <= $DegCap
       ORDER BY src, w, dst
     """))
 
-  val qs: Seq[Q] = Seq(simhashBuckets, simhashAnn, calibratedTopk, roarProjectionGraph)
+  /** Shared oracle CTE chain producing `cp` = the capped, deduped
+    * projection-graph edge events (roar_projection_graph and
+    * roar_entry_point_degree both select from it). */
+  private lazy val sqlProjCtes = s"""
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
+      sc AS (SELECT qid, bid, ${Vec.sqlCosine("qv", "bv")} AS score FROM b CROSS JOIN q),
+      rr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS INT) AS rnk FROM sc),
+      top10 AS (SELECT qid, bid, rnk FROM rr WHERE rnk <= 10),
+      mem AS (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM top10 t JOIN b e ON e.bid = t.bid),
+      pr AS (SELECT m1.qid, m1.rnk AS r1, m2.rnk AS r2,
+                    CASE WHEN m1.rnk = m2.rnk THEN 0.0
+                         ELSE 1.0 - ${Vec.sqlCosine("m1.v", "m2.v")} END AS d
+             FROM mem m1 JOIN mem m2 ON m1.qid = m2.qid),
+      dm AS (SELECT qid, list(d ORDER BY (r1 - 1) * 10 + r2) AS dmat FROM pr GROUP BY qid),
+      bm AS (SELECT qid, list(bid ORDER BY rnk) AS bids FROM top10 GROUP BY qid),
+      cnd AS (SELECT qid, r1 AS tr, list(r2 ORDER BY d, r2) AS cands
+              FROM pr WHERE r1 <> r2 GROUP BY qid, r1),
+      ${/* the selection fold unrolled into 8 chained steps: DuckDB
+            1.0.0 miscompiles a lambda nested inside list_reduce
+            (nondeterministic results / garbage-value overflow), so
+            each step uses only a single-level list_filter lambda */ ""}
+      s1 AS (SELECT c.qid, c.tr, bm.bids, dm.dmat, c.cands, [c.cands[1]] AS sel
+             FROM cnd c JOIN dm ON dm.qid = c.qid JOIN bm ON bm.qid = c.qid),
+      ${(2 to 9).map { k =>
+        s"""s$k AS (SELECT qid, tr, bids, dmat, cands,
+             CASE WHEN len(sel) >= $MaxSel OR len(list_filter(sel,
+                 s -> dmat[(cands[$k] - 1) * 10 + s] <= dmat[(cands[$k] - 1) * 10 + tr])) > 0
+             THEN sel ELSE list_append(sel, cands[$k]) END AS sel FROM s${k - 1})"""
+      }.mkString(",\n      ")},
+      selt AS (SELECT qid, tr, bids, dmat, sel FROM s9),
+      ex AS (SELECT qid, tr, bids, dmat, u.si, u.c
+             FROM (SELECT qid, tr, bids, dmat,
+                          unnest(list_transform(range(1, len(sel) + 1),
+                                 i -> {'si': i, 'c': sel[i]})) AS u
+                   FROM selt)),
+      wd AS (SELECT qid, tr, si, c, bids[tr] AS tbid, bids[c] AS cbid,
+                    dmat[(c - 1) * 10 + tr] AS d
+             FROM ex),
+      ev AS (SELECT tbid AS src, cbid AS dst, d, qid, tr, si, 0 AS kind FROM wd
+             UNION ALL
+             SELECT cbid AS src, tbid AS dst, d, qid, tr, si, 1 AS kind FROM wd),
+      dd AS (SELECT src, dst, d, qid, tr, si, kind FROM (
+               SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY qid, tr, si, kind) AS rn
+               FROM ev) WHERE rn = 1),
+      cp AS (SELECT src, dst, d,
+                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY qid, tr, si, kind) AS dr
+             FROM dd)"""
+
+  /** Max-degree projection-graph entry point — the reference's actual
+    * calculate_projection_ep (roargraph_python.py:164-175: argmax of
+    * per-node degree; SURVEY §1 mis-cited this as nearest-to-centroid,
+    * which lives on as the separate roar_entry_point operator).
+    * Tie-break: smallest node id. One groupBy over the edge table +
+    * top-1 via TakeOrderedAndProject — no unpartitioned Window. */
+  val roarEntryPointDegree = Q(
+    "roar_entry_point_degree",
+    (s, dir) => {
+      roarProjectionGraph.fn(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("src"))
+        .limit(1)
+        .select(col("src").as("entry_id"), col("degree"))
+    },
+    Some(s"""
+      WITH $sqlProjCtes,
+      proj AS (SELECT src, dst FROM cp WHERE dr <= $DegCap),
+      dg AS (SELECT src, COUNT(*) AS degree FROM proj GROUP BY src)
+      SELECT src AS entry_id, degree FROM dg
+      ORDER BY degree DESC, src LIMIT 1
+    """))
+
+  val qs: Seq[Q] = Seq(simhashBuckets, simhashAnn, calibratedTopk,
+    roarProjectionGraph, roarEntryPointDegree)
 }
