@@ -40,18 +40,47 @@ object BeamSearch {
       base: DataFrame,
       seeds: DataFrame,
       ef: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    runImpl(edges, queries, base, seeds, ef, rounds, countVisited = false)._1
+
+  /** Same search, additionally returning the TOTAL number of scored
+    * candidate rows (seeds + per-round distinct expansions) — the
+    * reference benchmark's visited-nodes column
+    * (benchmark_hnsw_vs_roargraph.py avg_visited). Counting runs one
+    * extra count() action per round, so the plain runFromSeeds skips
+    * it. Deterministic: counts are over distinct candidate sets. */
+  def runFromSeedsCounted(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      seeds: DataFrame,
+      ef: Int,
+      rounds: Int): (DataFrame, Long) =
+    runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true)
+
+  private def runImpl(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      seeds: DataFrame,
+      ef: Int,
+      rounds: Int,
+      countVisited: Boolean): (DataFrame, Long) = {
     val scoreOf: DataFrame => DataFrame = cand =>
       cand.join(base, Seq("bid"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
 
-    var beam = scoreOf(seeds.select(col("qid"), col("bid")))
+    var visited = 0L
+    val seedSet = seeds.select(col("qid"), col("bid"))
+    if (countVisited) visited += seedSet.count()
+    var beam = scoreOf(seedSet)
     for (_ <- 1 to rounds) {
       val frontier = beam.select(col("qid"), col("bid").as("src"))
       val expanded = frontier.join(edges, Seq("src"))
         .select(col("qid"), col("dst").as("bid"))
         .distinct()
+      if (countVisited) visited += expanded.count()
       val scoredNew = scoreOf(expanded)
       // no visited-set anti-join: revisited nodes score identically
       // (deterministic distance) and TopKAgg collapses exact-duplicate
@@ -62,6 +91,6 @@ object BeamSearch {
       beam = TopK.perGroup(beam.union(scoredNew), "qid", "bid", "dist", ef, asc = true)
         .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
     }
-    TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true)
+    (TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true), visited)
   }
 }

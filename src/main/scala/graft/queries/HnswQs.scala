@@ -109,7 +109,9 @@ object HnswQs {
   val multiEntrySearch = Q(
     "graph_multi_entry_search",
     (s, dir) => {
-      val edges = VectorQs2.roarProjectionGraph.fn(s, dir)
+      val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
+          VectorQs2.roarProjectionGraph.fn(s, dir)
+        }
         .select(col("src"), col("dst")).localCheckpoint()
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
@@ -136,8 +138,14 @@ object HnswQs {
 
   /** Recall-vs-parameter sweep (reference benchmark CSVs,
     * README_RoarGraph.md:56-112 / benchmark_hnsw_vs_roargraph.py):
-    * IVF recall@10 against exact L2 for nprobe ∈ {1,2,4}. Rows-only
-    * (iterative k-means upstream). */
+    * per sweep point (method, param) emit recall@10 vs exact L2,
+    * avg_visited, hops, wall_ms, qps — the reference CSV's columns.
+    * Methods: IVF (param = nprobe ∈ {1,2,4}, hops = 0) and beam search
+    * over the PERSISTED projection graph (param = rounds ∈ {1,2,3},
+    * hops = rounds) — search-only, the index loads from ProjIndex.
+    * wall_ms/qps time the search actions on the driver, so they vary
+    * run to run (the one nondeterministic output in the catalog —
+    * inherent to reporting latency; every other column is exact). */
   val annQualitySweep = Q(
     "ann_quality_sweep",
     (s, dir) => {
@@ -151,6 +159,7 @@ object HnswQs {
       val gt = VectorQs.gtTopk(s, dir, "l2").select(col("qid"), col("bid"))
         .localCheckpoint()
       val nGt = gt.count().toDouble
+      val nQ = q2.count().toDouble
       // score candidates ONCE with the cell's probe rank attached, then
       // each nprobe sweep point is a filter + top-k over the same rows
       val maxProbe = 4
@@ -164,17 +173,38 @@ object HnswQs {
         .select(col("qid"), col("vec_id").as("bid"), col("cell_rnk"),
           graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
         .localCheckpoint()
-      val nQ = q2.count().toDouble
-      val rows = Seq(1, 2, 4).map { np =>
+      val ivfRows = Seq(1, 2, 4).map { np =>
+        val t0 = System.nanoTime()
         val probedCand = cand.filter(col("cell_rnk") <= np)
-        val hits = TopK.perGroup(probedCand, "qid", "bid", "dist", 10, asc = true)
-          .select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
+        val top = TopK.perGroup(probedCand, "qid", "bid", "dist", 10, asc = true)
+          .select(col("qid"), col("bid")).localCheckpoint()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val hits = top.join(gt, Seq("qid", "bid")).count()
         // avg candidates scored per query — the reference benchmark's
         // avg_visited column (README_RoarGraph.md:56)
         val visited = probedCand.count() / nQ
-        ("ivf", np, hits / nGt, visited)
+        ("ivf", np, hits / nGt, visited, 0, wallMs, nQ / (wallMs / 1000.0))
       }
-      rows.toDF("method", "nprobe", "recall", "avg_visited").orderBy(col("nprobe"))
+      val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
+          VectorQs2.roarProjectionGraph.fn(s, dir)
+        }
+        .select(col("src"), col("dst")).localCheckpoint()
+      val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("src")).head().getLong(0)
+      val baseBv = baseRaw.select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val seeds = q2.select(col("qid")).withColumn("bid", lit(entry))
+      val beamRows = Seq(1, 2, 3).map { rounds =>
+        val t0 = System.nanoTime()
+        val (res, visitedTotal) = BeamSearch.runFromSeedsCounted(
+          edges, q2, baseBv, seeds, ef = 10, rounds = rounds)
+        val top = res.select(col("qid"), col("bid")).localCheckpoint()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val hits = top.join(gt, Seq("qid", "bid")).count()
+        ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs, nQ / (wallMs / 1000.0))
+      }
+      (ivfRows ++ beamRows)
+        .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms", "qps")
+        .orderBy(col("method"), col("param"))
     },
     None)
 

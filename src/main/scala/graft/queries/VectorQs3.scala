@@ -42,12 +42,16 @@ object VectorQs3 {
     },
     None)
 
-  /** Beam search over the projection graph from the global entry point
-    * (reference search loop, roargraph_python.py:325-420). */
+  /** Beam search over the PERSISTED projection graph from the global
+    * entry point (reference search loop, roargraph_python.py:325-420).
+    * The graph is built once via ProjIndex/IndexStore and loaded here,
+    * so this query times search — not an index rebuild. */
   val graphBeamSearch = Q(
     "graph_beam_search",
     (s, dir) => {
-      val edges = VectorQs2.roarProjectionGraph.fn(s, dir)
+      val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
+          VectorQs2.roarProjectionGraph.fn(s, dir)
+        }
         .select(col("src"), col("dst")).cache()
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
