@@ -87,12 +87,23 @@ object DedupQs {
     shingled(s, dir).cache().select(col("doc_id") +: sigCols: _*)
   }
 
-  private def bandsOf(sigs: DataFrame): DataFrame =
+  /** per-(band, key) ceiling — the same 20k cap simhash_ann applies
+    * (reference bucket cap, simple_sim_hash.py:23): one degenerate
+    * band key (boilerplate-heavy corpus) must not turn the candidate
+    * self-join quadratic. Deterministic first-by-doc_id keep; no-op
+    * below the cap, mirrored in the oracle. */
+  private val BandBucketCap = 20000
+
+  private def bandsOf(sigs: DataFrame, cap: Int = BandBucketCap): DataFrame =
     (0 until Bands).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band_idx"),
         md5(concat_ws(",", col(s"s${3 * b}"), col(s"s${3 * b + 1}"), col(s"s${3 * b + 2}")))
           .as("bkey"))
     }.reduce(_.union(_))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("bkey")).orderBy(col("doc_id"))))
+      .filter(col("brn") <= cap)
+      .drop("brn")
 
   private def banded(s: SparkSession, dir: String): DataFrame =
     bandsOf(sigTable(s, dir))
@@ -102,18 +113,23 @@ object DedupQs {
     val bandKeys = (0 until Bands)
       .map(b => s"md5(CAST(${sig(3 * b)} AS VARCHAR) || ',' || CAST(${sig(3 * b + 1)} AS VARCHAR) || ',' || CAST(${sig(3 * b + 2)} AS VARCHAR))")
       .mkString(", ")
-    s"""banded AS (
+    s"""banded0 AS (
       SELECT doc_id, u.i AS band_idx, u.k AS bkey
       FROM (SELECT doc_id,
                    unnest(list_transform(range(1, ${Bands + 1}),
                           i -> {'i': i - 1, 'k': bands[i]})) AS u
-            FROM (SELECT doc_id, [$bandKeys] AS bands FROM sh)))"""
+            FROM (SELECT doc_id, [$bandKeys] AS bands FROM sh))),
+    banded AS (
+      SELECT doc_id, band_idx, bkey FROM (
+        SELECT doc_id, band_idx, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, bkey ORDER BY doc_id) AS brn
+        FROM banded0) WHERE brn <= 20000)"""
   }
 
   /** dev-profiling access (ProfileMinhashSpec). */
   def bandedPublic(s: SparkSession, dir: String): DataFrame = banded(s, dir)
   def sigTablePublic(s: SparkSession, dir: String): DataFrame = sigTable(s, dir)
-  def bandsOfPublic(sigs: DataFrame): DataFrame = bandsOf(sigs)
+  def bandsOfPublic(sigs: DataFrame, cap: Int = BandBucketCap): DataFrame = bandsOf(sigs, cap)
 
   /** LSH candidates verified by exact shingle Jaccard. */
   val dedupMinhash = Q(

@@ -208,5 +208,82 @@ object HnswQs {
     },
     None)
 
-  val qs: Seq[Q] = Seq(hnswLayers, filteredTopk, multiEntrySearch, annQualitySweep)
+  /** Cross-distribution bridge edges (hnsw_cosine_status_high.py:
+    * 1080-1195 build_cross_distribution_edges and
+    * hnsw_with_bridges_optimized.py): per query, take the top-10
+    * nearest layer-1 nodes by cosine, consider every pair (i<j) in
+    * rank order, and add a bidirectional bridge unless the layer-1 kNN
+    * graph already has the i→j edge or either endpoint has spent its
+    * 4-new-edges budget within this query (the reference's
+    * added_per_node defaultdict is per call = per query). Pairs added
+    * by an earlier (qid, i, j) event win the cross-query dedupe.
+    * Rows-only (BridgeEdgesSpec shows multi-entry beam recall improves
+    * when bridges augment the modality-clustered layer graph).
+    *
+    * Scale shape: per query one bounded 45-pair fold; the only joins
+    * are the member self-join and a membership probe of the layer-1
+    * kNN edges — Q×100 small rows, never N². */
+  val bridgeEdges = Q(
+    "bridge_edges",
+    (s, dir) => {
+      val MaxNew = 4
+      val TopK10 = 10
+      val emb = Tables.t(s, dir, "embeddings")
+      val l1 = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding"), levelCol(col("vec_id")).as("lvl"))
+        .filter(col("lvl") >= 1)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val top = BruteForce.topk(l1, queries, "cosine", TopK10).localCheckpoint()
+      val bm = top.groupBy(col("qid")).agg(
+        transform(array_sort(collect_list(struct(col("rnk").cast("int").as("rnk"), col("bid")))),
+          x => x.getField("bid")).as("bids"))
+      // layer-1 kNN adjacency (the graph bridges are added to)
+      val l1knn = BruteForce.topk(
+        l1, l1.select(col("bid").as("qid"), col("bv").as("qv")),
+        "l2", LevelK, excludeSelf = true)
+        .select(col("qid").as("esrc"), col("bid").as("edst"))
+      // existing directed edges among a query's members, rank-encoded
+      val exist = top.as("x").join(top.as("y"), col("x.qid") === col("y.qid"))
+        .join(l1knn, col("x.bid") === col("esrc") && col("y.bid") === col("edst"), "left_semi")
+        .groupBy(col("x.qid").as("qid"))
+        .agg(collect_set((col("x.rnk") - 1) * 10 + col("y.rnk")).as("exist"))
+      val pairsArr = flatten(transform(sequence(lit(1), lit(TopK10 - 1)), i =>
+        transform(sequence(i + 1, lit(TopK10)), j =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j")))))
+      val acc0 = struct(
+        array().cast("array<struct<i:int,j:int>>").as("ps"),
+        array_repeat(lit(0), TopK10).as("cnt"))
+      val folded = aggregate(
+        pairsArr, acc0,
+        (acc, p) => {
+          val pi = p.getField("i"); val pj = p.getField("j")
+          val blocked =
+            coalesce(array_contains(col("exist"), (pi - 1) * 10 + pj), lit(false)) ||
+              element_at(acc.getField("cnt"), pi) >= MaxNew ||
+              element_at(acc.getField("cnt"), pj) >= MaxNew
+          when(blocked, acc).otherwise(struct(
+            concat(acc.getField("ps"), array(p)).as("ps"),
+            transform(acc.getField("cnt"),
+              (c, idx) => when(idx === pi - 1 || idx === pj - 1, c + 1).otherwise(c)).as("cnt")))
+        })
+      val ex = bm.join(exist, Seq("qid"), "left")
+        .select(col("qid"), col("bids"), folded.getField("ps").as("ps"))
+        .select(col("qid"), col("bids"), posexplode(col("ps")).as(Seq("ei", "p")))
+        .select(col("qid"), col("ei"),
+          element_at(col("bids"), col("p").getField("i")).as("u"),
+          element_at(col("bids"), col("p").getField("j")).as("v"))
+      val ev = ex.select(col("u").as("src"), col("v").as("dst"), col("qid"), col("ei"), lit(0).as("kind"))
+        .union(ex.select(col("v").as("src"), col("u").as("dst"), col("qid"), col("ei"), lit(1).as("kind")))
+      ev.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"), col("dst"))
+            .orderBy(col("qid"), col("ei"), col("kind"))))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("dst"), col("qid").as("first_qid"))
+        .orderBy(col("src"), col("dst"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(hnswLayers, filteredTopk, multiEntrySearch, annQualitySweep, bridgeEdges)
 }

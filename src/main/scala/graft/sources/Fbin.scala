@@ -59,7 +59,32 @@ object Fbin {
 
   /** Write (idx-ordered) float vectors to one .fbin file. `df` must
     * have (idx: long, vec: array<float>); streamed, never collected. */
-  def writeFloat(df: DataFrame, outPath: String): Unit = {
+  def writeFloat(df: DataFrame, outPath: String): Unit =
+    writeStream(df, outPath) { (out, row) =>
+      val v = row.getSeq[Float](1)
+      var j = 0
+      while (j < v.length) {
+        out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v(j))))
+        j += 1
+      }
+    }
+
+  /** Write (idx-ordered) int32 vectors to one .ibin file (io_utils.py:
+    * 57-68 write_ibin) — the groundtruth-exchange format native tools
+    * consume (README_RoarGraph.md:19 --gt_file). `df` must have
+    * (idx: long, vec: array<int>). */
+  def writeInt(df: DataFrame, outPath: String): Unit =
+    writeStream(df, outPath) { (out, row) =>
+      val v = row.getSeq[Int](1)
+      var j = 0
+      while (j < v.length) {
+        out.writeInt(Integer.reverseBytes(v(j)))
+        j += 1
+      }
+    }
+
+  private def writeStream(df: DataFrame, outPath: String)(
+      writeRow: (DataOutputStream, Row) => Unit): Unit = {
     val ordered = df.select(col("idx"), col("vec")).orderBy(col("idx"))
     val dim = ordered.select(size(col("vec"))).head().getInt(0)
     val n = ordered.count()
@@ -69,15 +94,7 @@ object Fbin {
       out.writeInt(Integer.reverseBytes(n.toInt))
       out.writeInt(Integer.reverseBytes(dim))
       val it = ordered.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next().asInstanceOf[Row]
-        val v = row.getSeq[Float](1)
-        var j = 0
-        while (j < v.length) {
-          out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v(j))))
-          j += 1
-        }
-      }
+      while (it.hasNext) writeRow(out, it.next().asInstanceOf[Row])
     } finally out.close()
   }
 }

@@ -31,6 +31,28 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       i1 == i2 && v1.sameElements(v2) })
   }
 
+  test("ibin roundtrip preserves int vectors, header, and order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ibin").toFile
+    val path = s"${dir.getAbsolutePath}/gt.ibin"
+    // groundtruth-shaped payload: per query the top-5 neighbor ids
+    val vecs = (0L until 23L).map(i =>
+      (i, Array.tabulate(5)(j => (i * 17 + j * 3).toInt)))
+    Fbin.writeInt(vecs.toDF("idx", "vec"), path)
+
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() == 23 && bb.getInt() == 5)
+    assert(bytes.length == 8 + 23 * 5 * 4)
+
+    val back = Fbin.readInt(spark, path)
+      .select(col("idx"), col("vec")).as[(Long, Array[Int])]
+      .collect().sortBy(_._1)
+    assert(back.length == 23)
+    assert(back.zip(vecs).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && v1.sameElements(v2) })
+  }
+
   test("multimodal features are deterministic with stable schema") {
     val docs = Tables.t(spark, sf, "documents").limit(100)
     val a = Multimodal.extractFeatures(Multimodal.manifest(docs))
