@@ -55,8 +55,27 @@ object BeamSearch {
       base: DataFrame,
       seeds: DataFrame,
       ef: Int,
-      rounds: Int): (DataFrame, Long) =
-    runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true)
+      rounds: Int): (DataFrame, Long) = {
+    val r = runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true)
+    (r._1, r._2)
+  }
+
+  /** One search, a snapshot after EVERY round: element r-1 is (top-ef
+    * result, cumulative visited, cumulative wall nanos) as of round r.
+    * A rounds-parameter sweep costs one maxRounds search instead of
+    * 1+2+…+maxRounds rounds — the beam after round r is identical
+    * whether or not the search continues, and each round materializes
+    * (localCheckpoint) inside this call, so the per-stage clock is
+    * honest. */
+  def runStaged(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      seeds: DataFrame,
+      ef: Int,
+      maxRounds: Int): Seq[(DataFrame, Long, Long)] =
+    runImpl(edges, queries, base, seeds, ef, maxRounds,
+      countVisited = true, keepStages = true)._3
 
   private def runImpl(
       edges: DataFrame,
@@ -65,13 +84,16 @@ object BeamSearch {
       seeds: DataFrame,
       ef: Int,
       rounds: Int,
-      countVisited: Boolean): (DataFrame, Long) = {
+      countVisited: Boolean,
+      keepStages: Boolean = false): (DataFrame, Long, Seq[(DataFrame, Long, Long)]) = {
     val scoreOf: DataFrame => DataFrame = cand =>
       cand.join(base, Seq("bid"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
 
     var visited = 0L
+    val t0 = System.nanoTime()
+    val stages = Seq.newBuilder[(DataFrame, Long, Long)]
     val seedSet = seeds.select(col("qid"), col("bid"))
     if (countVisited) visited += seedSet.count()
     var beam = scoreOf(seedSet)
@@ -90,7 +112,10 @@ object BeamSearch {
       // replan/recompute rounds < r (graph traversals deepen plans fast)
       beam = TopK.perGroup(beam.union(scoredNew), "qid", "bid", "dist", ef, asc = true)
         .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
+      if (keepStages)
+        stages += ((TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true), visited,
+          System.nanoTime() - t0))
     }
-    (TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true), visited)
+    (TopK.perGroup(beam, "qid", "bid", "dist", ef, asc = true), visited, stages.result())
   }
 }

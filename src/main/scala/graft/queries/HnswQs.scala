@@ -193,12 +193,14 @@ object HnswQs {
         .orderBy(col("d").desc, col("src")).head().getLong(0)
       val baseBv = baseRaw.select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val seeds = q2.select(col("qid")).withColumn("bid", lit(entry))
-      val beamRows = Seq(1, 2, 3).map { rounds =>
-        val t0 = System.nanoTime()
-        val (res, visitedTotal) = BeamSearch.runFromSeedsCounted(
-          edges, q2, baseBv, seeds, ef = 10, rounds = rounds)
+      // ONE staged search: the beam after round r is the rounds=r
+      // result, so the sweep costs 3 rounds, not 1+2+3; the stage clock
+      // (cumulative through round r) comes from inside the search
+      val staged = BeamSearch.runStaged(edges, q2, baseBv, seeds, ef = 10, maxRounds = 3)
+      val beamRows = staged.zipWithIndex.map { case ((res, visitedTotal, nanos), i) =>
+        val rounds = i + 1
         val top = res.select(col("qid"), col("bid")).localCheckpoint()
-        val wallMs = (System.nanoTime() - t0) / 1e6
+        val wallMs = nanos / 1e6
         val hits = top.join(gt, Seq("qid", "bid")).count()
         ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs, nQ / (wallMs / 1000.0))
       }

