@@ -287,5 +287,128 @@ object HnswQs {
     },
     None)
 
-  val qs: Seq[Q] = Seq(hnswLayers, filteredTopk, multiEntrySearch, annQualitySweep, bridgeEdges)
+  /** HNSW neighbor-selection with the diversity heuristic: per (level,
+    * node) take the 8 nearest same-level candidates and occlusion-prune
+    * to M=4 — a candidate is dropped when it sits closer to an
+    * already-selected neighbor than to the node itself (the classic
+    * HNSW select-neighbors heuristic; the reference's literal
+    * _select_neighbors, hnsw_cosine_status_high.py:404-408, is plain
+    * top-M — hnsw_layers IS that form exactly — so this operator adds
+    * the diversity rule the heuristic variant contributes, same
+    * occlusion fold as roar_projection_graph). Edges that survive give
+    * a sparser, longer-range adjacency at equal M.
+    *
+    * Scale shape: per (level, node) an 8-candidate pairwise block +
+    * bounded fold — nodes×64 small rows per level, never N². */
+  val hnswDiverseNeighbors = Q(
+    "hnsw_diverse_neighbors",
+    (s, dir) => {
+      val MaxCand = 8
+      val MaxSel = 4
+      val emb = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), levelCol(col("vec_id")).as("lvl"))
+      val perLevel = (0 to MaxLevel).map { l =>
+        val nodes = emb.filter(col("lvl") >= l)
+        BruteForce.topk(
+          nodes.select(col("vec_id").as("bid"), col("embedding").as("bv")),
+          nodes.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "l2", MaxCand, excludeSelf = true)
+          .select(lit(l).as("level"), col("qid").as("src"),
+            col("rnk").cast("int").as("rnk"), col("bid").as("dst"), col("score").as("dsrc"))
+      }.reduce(_.union(_)).localCheckpoint()
+      val vecs = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cwv = perLevel.join(vecs, col("dst") === col("vec_id"))
+        .select(col("level"), col("src"), col("rnk"), col("dst"), col("dsrc"), col("embedding").as("v"))
+      // candidate-candidate distances, rank-indexed ((r1-1)*8 + r2,
+      // diagonal 0) so the fold reads a flat 64-slot array
+      val pp = cwv.select(col("level"), col("src"), col("rnk").as("r1"), col("v").as("v1"))
+        .join(cwv.select(col("level"), col("src"), col("rnk").as("r2"), col("v").as("v2")),
+          Seq("level", "src"))
+        .select(col("level"), col("src"), col("r1"), col("r2"),
+          when(col("r1") === col("r2"), lit(0.0))
+            .otherwise(Vec.l2Fast(col("v1"), col("v2"))).as("d"))
+      val dm = pp.groupBy(col("level"), col("src")).agg(
+        transform(
+          array_sort(collect_list(struct(((col("r1") - 1) * MaxCand + col("r2")).as("k"), col("d")))),
+          x => x.getField("d")).as("dmat"))
+      val per = perLevel.groupBy(col("level"), col("src")).agg(
+        transform(array_sort(collect_list(struct(col("rnk"), col("dst")))),
+          x => x.getField("dst")).as("dsts"),
+        transform(array_sort(collect_list(struct(col("rnk"), col("dsrc")))),
+          x => x.getField("dsrc")).as("dvec"),
+        max(col("rnk")).as("nc"))
+      def dAt(c: Column, r: Column): Column =
+        element_at(col("dmat"), ((c - 1) * MaxCand + r).cast("int"))
+      // candidates arrive in kNN rank order; pivot = rank 1
+      // sequence() descends when start > stop, so clamp and re-guard
+      // with c > nc (mirrors the oracle's "$k > nc" bound)
+      val selCol = aggregate(
+        sequence(lit(2), greatest(col("nc"), lit(2))),
+        array(lit(1)),
+        (acc, c) => when(
+          c > col("nc") || size(acc) >= MaxSel ||
+            exists(acc, sc => dAt(c, sc) <= element_at(col("dvec"), c.cast("int"))),
+          acc).otherwise(concat(acc, array(c.cast("int")))))
+      per.join(dm, Seq("level", "src"))
+        .select(col("level"), col("src"), col("dsts"), col("dvec"), selCol.as("sel"))
+        .select(col("level"), col("src"), col("dsts"), col("dvec"),
+          posexplode(col("sel")).as(Seq("si0", "c")))
+        .select(col("level"), col("src"), (col("si0") + 1).as("sel_rnk"),
+          element_at(col("dsts"), col("c").cast("int")).as("dst"),
+          element_at(col("dvec"), col("c").cast("int")).as("dist"))
+        .orderBy(col("level"), col("src"), col("sel_rnk"))
+    },
+    Some {
+      val MaxCand = 8
+      val MaxSel = 4
+      val levels = (0 to MaxLevel).map { l =>
+        s"""
+        SELECT $l AS level, src, rnk, dst, dsrc FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 sqrt(${Vec.sqlL2sq("a.v", "b.v")}) AS dsrc,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY sqrt(${Vec.sqlL2sq("a.v", "b.v")}) ASC, b.vec_id) AS INT) AS rnk
+          FROM lv a CROSS JOIN lv b
+          WHERE a.lvl >= $l AND b.lvl >= $l AND a.vec_id <> b.vec_id)
+        WHERE rnk <= $MaxCand"""
+      }.mkString(" UNION ALL ")
+      val steps = (2 to MaxCand).map { k =>
+        s"""t$k AS (SELECT level, src, dsts, dvec, dmat, nc,
+             CASE WHEN $k > nc OR len(sel) >= $MaxSel OR len(list_filter(sel,
+                 s -> dmat[($k - 1) * $MaxCand + s] <= dvec[$k])) > 0
+             THEN sel ELSE list_append(sel, $k) END AS sel FROM t${k - 1})"""
+      }.mkString(",\n      ")
+      s"""
+      WITH lv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         ${sqlLevel("vec_id")} AS lvl
+                  FROM embeddings),
+      knn AS ($levels),
+      cwv AS (SELECT k.level, k.src, k.rnk, k.dst, k.dsrc, e.v
+              FROM knn k JOIN lv e ON e.vec_id = k.dst),
+      pp AS (SELECT c1.level, c1.src, c1.rnk AS r1, c2.rnk AS r2,
+                    CASE WHEN c1.rnk = c2.rnk THEN 0.0
+                         ELSE sqrt(${Vec.sqlL2sq("c1.v", "c2.v")}) END AS d
+             FROM cwv c1 JOIN cwv c2 ON c1.level = c2.level AND c1.src = c2.src),
+      dm AS (SELECT level, src, list(d ORDER BY (r1 - 1) * $MaxCand + r2) AS dmat
+             FROM pp GROUP BY level, src),
+      per AS (SELECT level, src, list(dst ORDER BY rnk) AS dsts,
+                     list(dsrc ORDER BY rnk) AS dvec, MAX(rnk) AS nc
+              FROM knn GROUP BY level, src),
+      t1 AS (SELECT p.level, p.src, p.dsts, p.dvec, dm.dmat, p.nc, [1] AS sel
+             FROM per p JOIN dm ON dm.level = p.level AND dm.src = p.src),
+      $steps,
+      ex AS (SELECT level, src, dsts, dvec, u.si, u.c
+             FROM (SELECT level, src, dsts, dvec,
+                          unnest(list_transform(range(1, len(sel) + 1),
+                                 i -> {'si': i, 'c': sel[i]})) AS u
+                   FROM t$MaxCand))
+      SELECT level, src, si AS sel_rnk, dsts[c] AS dst, dvec[c] AS dist
+      FROM ex
+      ORDER BY level, src, sel_rnk
+    """
+    })
+
+  val qs: Seq[Q] = Seq(hnswLayers, filteredTopk, multiEntrySearch, annQualitySweep,
+    bridgeEdges, hnswDiverseNeighbors)
 }
