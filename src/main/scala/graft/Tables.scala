@@ -50,6 +50,12 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's extension surface IS the production config: SQL
+      // vector kernels + WindowTopKRule + VectorTopKJoin strategy
+      // (applies when this session owns context creation — mains and
+      // the first test session; late sessions use GraftFunctions
+      // .register / the self-registering strategies)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
