@@ -20,6 +20,10 @@ object Bench {
     graft.operators.ProjIndex.ensureGraph(spark, sfDir) {
       queries.VectorQs2.roarProjectionGraph.fn(spark, sfDir)
     }
+    queries.VectorQs3.baseIvf(spark, sfDir)
+    queries.VectorQs3.pqIndex(spark, sfDir)
+    queries.HnswQs.anchorIvf(spark, sfDir)
+    queries.HnswQs.sweepIvf(spark, sfDir)
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -76,9 +76,14 @@ object BruteForce {
         val sizes = new Array[Int](nq)
         val ascL = m == "l2"
 
-        // identical ordering rule to TopKAgg.beats
-        def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-          if (s1 != s2) { if (ascL) s1 < s2 else s1 > s2 } else i1 < i2
+        // identical ordering rule to TopKAgg.beats (incl. NaN-ranks-
+        // worst — pools merge through TopKAgg, rules must agree)
+        def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+          val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+          if (n1 || n2) { if (n1 != n2) !n1 else i1 < i2 }
+          else if (s1 != s2) { if (ascL) s1 < s2 else s1 > s2 }
+          else i1 < i2
+        }
 
         def insert(qi: Int, s: Double, id: Long): Unit = {
           val sz = sizes(qi)

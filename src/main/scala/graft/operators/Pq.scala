@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Product quantization — the memory-side scale path the reference's
+  * in-RAM float index cannot take at 100 TB: vectors compress to m
+  * subspace codes (64 floats → 8 bytes here), ADC search scans codes
+  * against a per-query lookup table and only the rerank touches real
+  * vectors. Subspace codebooks come from the same deterministic
+  * quantized-exact k-means as IVF (Ivf.centroids), so build, codes,
+  * and search are bit-stable under any partitioning.
+  *
+  * Scale shape: train = m small k-means over N×dsub slices; encode =
+  * one scan with a broadcast 128-row codebook (min-struct argmin, no
+  * shuffle beyond the map-side combine); search = BruteForce-style
+  * per-partition kernel over the 8-byte codes with a broadcast
+  * Q×m×ksub LUT — the full-vector table is never read until rerank.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: (sub, cid, cv array<double> of dsub). */
+  def train(emb: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
+      Ivf.centroids(sliced, ksub, iters)
+        .select(lit(s).as("sub"), col("cid"), col("cv"))
+    }.reduce(_.union(_))
+  }
+
+  /** Encode every vector: (vec_id, codes array<int> of m). Argmin per
+    * (vector, subspace) is a native min(struct(d2, cid)) over the
+    * broadcast codebook — fully codegen'd, map-side combined. */
+  def encode(emb: DataFrame, cents: DataFrame, m: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dsub = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(col("embedding"), s * dsub + 1, dsub)): _*)
+    emb.select(col("vec_id"), slices.as("sl"))
+      .select(col("vec_id"), posexplode(col("sl")).as(Seq("sub", "sv")))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(Vec.l2sqFast(col("sv"), col("cv")).as("d2"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("sc.cid").as("cid")))),
+        x => x.getField("cid").cast("int")).as("codes"))
+  }
+
+  /** ADC top-k per query over the codes table (asymmetric distance:
+    * sum over subspaces of ||q_sub − centroid[code]||²), BruteForce-
+    * style bounded pools per partition, TopKAgg merge. Returns
+    * (qid, rnk, bid, adist). */
+  def searchAdc(
+      codes: DataFrame, // vec_id, codes
+      cents: DataFrame, // sub, cid, cv
+      queries: DataFrame, // qid, qv (array<float>)
+      m: Int,
+      ksub: Int,
+      k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val centArr = new Array[Array[Double]](m * ksub)
+    cents.select(col("sub"), col("cid"), col("cv"))
+      .collect().foreach { r =>
+        centArr(r.getInt(0) * ksub + r.getLong(1).toInt) =
+          r.getSeq[Double](2).toArray
+      }
+    val qArr: Array[(Long, Array[Float])] =
+      queries.select(col("qid"), col("qv")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(centArr)
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val mL = m; val ksubL = ksub
+
+    val pooled = codes.select(col("vec_id"), col("codes")).as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val cA = bcC.value
+        val qs = bcQ.value
+        val nq = qs.length
+        val dsub = if (cA(0) != null) cA(0).length else 0
+        // per-query LUT: lut(qi)(s*ksub + c) = ||q_sub − cent(s,c)||²
+        val lut = Array.tabulate(nq) { qi =>
+          val qv = qs(qi)._2
+          val t = new Array[Double](mL * ksubL)
+          var s = 0
+          while (s < mL) {
+            var c = 0
+            while (c < ksubL) {
+              val cv = cA(s * ksubL + c)
+              var acc = 0.0
+              if (cv != null) {
+                var i = 0
+                while (i < dsub) {
+                  val d = qv(s * dsub + i).toDouble - cv(i)
+                  acc += d * d; i += 1
+                }
+              } else acc = Double.MaxValue
+              t(s * ksubL + c) = acc
+              c += 1
+            }
+            s += 1
+          }
+          t
+        }
+        val poolS = Array.fill(nq)(new Array[Double](k))
+        val poolI = Array.fill(nq)(new Array[Long](k))
+        val sizes = new Array[Int](nq)
+        def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+          val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+          if (n1 || n2) { if (n1 != n2) !n1 else i1 < i2 }
+          else if (s1 != s2) s1 < s2
+          else i1 < i2
+        }
+        def insert(qi: Int, s: Double, id: Long): Unit = {
+          val sz = sizes(qi)
+          val ss = poolS(qi); val ii = poolI(qi)
+          if (sz == k && beats(ss(k - 1), ii(k - 1), s, id)) return
+          var pos = sz
+          while (pos > 0 && beats(s, id, ss(pos - 1), ii(pos - 1))) pos -= 1
+          if (pos >= k) return
+          var j = math.min(sz, k - 1)
+          while (j > pos) { ss(j) = ss(j - 1); ii(j) = ii(j - 1); j -= 1 }
+          ss(pos) = s; ii(pos) = id
+          if (sz < k) sizes(qi) = sz + 1
+        }
+        while (it.hasNext) {
+          val (bid, cs) = it.next()
+          var qi = 0
+          while (qi < nq) {
+            val t = lut(qi)
+            var acc = 0.0
+            var s = 0
+            while (s < mL) { acc += t(s * ksubL + cs(s)); s += 1 }
+            insert(qi, acc, bid)
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { qi =>
+          val qid = qs(qi)._1
+          Iterator.range(0, sizes(qi)).map(j => (qid, poolI(qi)(j), poolS(qi)(j)))
+        }
+      }.toDF("qid", "bid", "adist")
+    TopK.perGroup(pooled, "qid", "bid", "adist", k, asc = true)
+      .select(col("qid"), col("rnk"), col("bid"), col("adist"))
+  }
+}

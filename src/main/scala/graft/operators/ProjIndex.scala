@@ -37,4 +37,47 @@ object ProjIndex {
     if (!fs.exists(new Path(hp, "_SUCCESS"))) IndexStore.saveGraph(build, p)
     IndexStore.loadGraph(s, p)
   }
+
+  def ivfPath(dir: String, tag: String, k: Int, iters: Int): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
+    val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"$root/$Version/$dtag/ivf_${tag}_k${k}_i$iters"
+  }
+
+  /** Load a persisted IVF index (centroids, assigned cells), running
+    * the deterministic k-means build only on a miss. Keyed by
+    * (scope tag, k, iters) — different query scopes use different
+    * quantizers. */
+  def ensureIvf(s: SparkSession, dir: String, tag: String, k: Int, iters: Int)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val p = ivfPath(dir, tag, k, iters)
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(hp, "centroids/_SUCCESS"))) {
+      val (cents, assigned) = build
+      IndexStore.saveIvf(cents, assigned, p)
+    }
+    IndexStore.loadIvf(s, p)
+  }
+
+  def pqPath(dir: String, m: Int, ksub: Int, iters: Int): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
+    val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"$root/$Version/$dtag/pq_m${m}_k${ksub}_i$iters"
+  }
+
+  /** Load a persisted PQ index (codebooks, codes), training/encoding
+    * only on a miss. */
+  def ensurePq(s: SparkSession, dir: String, m: Int, ksub: Int, iters: Int)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val p = pqPath(dir, m, ksub, iters)
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(hp, "cents/_SUCCESS"))) {
+      val (cents, codes) = build
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$p/cents")
+      codes.write.mode("overwrite").parquet(s"$p/codes")
+    }
+    (s.read.parquet(s"$p/cents"), s.read.parquet(s"$p/codes"))
+  }
 }

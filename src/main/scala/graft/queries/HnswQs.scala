@@ -103,9 +103,26 @@ object HnswQs {
       ORDER BY qid, rnk
     """))
 
+  /** Persisted 8-cell anchor quantizer for multi-entry seeding. */
+  def anchorIvf(s: SparkSession, dir: String) =
+    graft.operators.ProjIndex.ensureIvf(s, dir, "anchor", 8, 2) {
+      val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
+      val c = Ivf.centroids(b, 8, 2)
+      (c, Ivf.assign(b, c))
+    }
+
+  /** Persisted 16-cell quantizer the quality sweep probes. */
+  def sweepIvf(s: SparkSession, dir: String) =
+    graft.operators.ProjIndex.ensureIvf(s, dir, "sweep", 16, 2) {
+      val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
+      val c = Ivf.centroids(b, 16, 2)
+      (c, Ivf.assign(b, c))
+    }
+
   /** Multi-entry beam search: per-query seeds = the base nodes nearest
     * each IVF centroid, ranked by query distance, top-3 as entries
-    * (MEAR multi-entry seeds, Idea-1023.md). Rows-only (iterative). */
+    * (MEAR multi-entry seeds, Idea-1023.md). Index artifacts (graph +
+    * anchor quantizer) load persisted. Rows-only (iterative). */
   val multiEntrySearch = Q(
     "graph_multi_entry_search",
     (s, dir) => {
@@ -118,7 +135,7 @@ object HnswQs {
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cents = Ivf.centroids(emb.filter(col("vec_id") % 50 =!= 0), 8, 2)
+      val (cents, _) = anchorIvf(s, dir)
       // anchor node per centroid = nearest base vector
       val anchors = BruteForce.topk(
         base,
@@ -152,8 +169,7 @@ object HnswQs {
       import s.implicits._
       val emb = Tables.t(s, dir, "embeddings")
       val baseRaw = emb.filter(col("vec_id") % 50 =!= 0)
-      val cents = Ivf.centroids(baseRaw, 16, 2).localCheckpoint()
-      val base = Ivf.assign(baseRaw, cents).localCheckpoint()
+      val (cents, base) = sweepIvf(s, dir)
       val q2 = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val gt = VectorQs.gtTopk(s, dir, "l2").select(col("qid"), col("bid"))
