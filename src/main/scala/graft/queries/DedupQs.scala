@@ -222,7 +222,17 @@ object DedupQs {
         .orderBy(col("survivor_id"), col("member"))
     },
     Some(s"""
-      WITH RECURSIVE $sqlShingled,
+      WITH RECURSIVE $sqlGroupCtes,
+      gs AS (SELECT survivor_id, COUNT(*) AS group_size FROM comp GROUP BY survivor_id)
+      SELECT c.survivor_id AS survivor_id, gs.group_size AS group_size,
+             c.node AS member
+      FROM comp c JOIN gs USING (survivor_id)
+      ORDER BY survivor_id, member
+    """))
+
+  /** Shared oracle CTE chain ending in `comp(node, survivor_id)` — the
+    * connected components of the verified duplicate pairs. */
+  private lazy val sqlGroupCtes = s"""$sqlShingled,
       $sqlBanded,
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -239,12 +249,31 @@ object DedupQs {
         SELECT DISTINCT a, a FROM edges
         UNION
         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-      comp AS (SELECT node, MIN(r) AS survivor_id FROM reach GROUP BY node),
-      gs AS (SELECT survivor_id, COUNT(*) AS group_size FROM comp GROUP BY survivor_id)
-      SELECT c.survivor_id AS survivor_id, gs.group_size AS group_size,
-             c.node AS member
-      FROM comp c JOIN gs USING (survivor_id)
-      ORDER BY survivor_id, member
+      comp AS (SELECT node, MIN(r) AS survivor_id FROM reach GROUP BY node)"""
+
+  /** Apply the dedup verdict: the cleaned corpus = every document that
+    * is not a non-survivor member of a duplicate group — the
+    * materialization step every dedup pipeline ends with (keep one
+    * canonical doc per near-dup cluster, drop the rest). Anti-join on
+    * the (small) removal set, so the 100 TB corpus streams through
+    * once. */
+  val dedupApply = Q(
+    "dedup_apply",
+    (s, dir) => {
+      val removed = dedupMinhashGroups.fn(s, dir)
+        .filter(col("member") =!= col("survivor_id"))
+        .select(col("member").as("doc_id"))
+      Tables.t(s, dir, "documents")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlGroupCtes
+      SELECT doc_id, lang, length(text) AS text_len
+      FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> survivor_id)
+      ORDER BY doc_id
     """))
 
   // ---- SimHash ----
@@ -439,5 +468,5 @@ object DedupQs {
 
   val qs: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupMinhashGroups, dedupSimhash,
-    ngramJaccard, dedupEmbedding)
+    ngramJaccard, dedupEmbedding, dedupApply)
 }

@@ -172,5 +172,33 @@ object TextQs {
       ORDER BY doc_id
     """))
 
-  val qs: Seq[Q] = Seq(tokenCount, textQuality, langId, docFingerprint, textNormalize)
+  /** Deterministic stratified sampling — the language-rebalancing step
+    * of a training-data pipeline (downsample the dominant language):
+    * keep an 'en' doc with probability 1/2, any other language with
+    * probability 1/4. The coin is the doc_id's md5 prefix compared to
+    * an INTEGER threshold (rate × 2⁶⁰), so both engines decide with
+    * pure integer ops — no float thresholds, no RNG, rerun-stable, and
+    * the sample of a 100 TB corpus is reproducible per row with no
+    * coordination. */
+  val sampleStratified = Q(
+    "sample_stratified",
+    (s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val threshold = when(col("lang") === "en", lit(1L << 59)).otherwise(lit(1L << 58))
+      Tables.t(s, dir, "documents")
+        .filter(u < threshold)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, lang, length(text) AS text_len
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            < CASE WHEN lang = 'en' THEN ${1L << 59} ELSE ${1L << 58} END
+      ORDER BY doc_id
+    """))
+
+  val qs: Seq[Q] = Seq(tokenCount, textQuality, langId, docFingerprint, textNormalize,
+    sampleStratified)
 }

@@ -170,6 +170,60 @@ object VectorQs {
       ORDER BY src, rnk
     """))
 
+  /** One NN-Descent refinement round over the kNN graph: each node's
+    * candidate set = current neighbors ∪ neighbors-of-neighbors (the
+    * NN-Descent observation that a neighbor's neighbor is likely a
+    * neighbor), exact-rescored, keep the best 5. At scale one round is
+    * two edge-table self-joins + a bounded top-k — no all-pairs
+    * rescan — and iterating rounds converges a cheap random/LSH seed
+    * graph toward the exact kNN graph. */
+  val knnRefine = Q(
+    "knn_refine",
+    (s, dir) => {
+      val edges = knnGraph(s, dir).select(col("src"), col("dst")).localCheckpoint()
+      val twoHop = edges.select(col("src"), col("dst").as("mid"))
+        .join(edges.select(col("src").as("mid"), col("dst").as("cand")), Seq("mid"))
+        .filter(col("src") =!= col("cand"))
+        .select(col("src"), col("cand"))
+      val cands = edges.select(col("src"), col("dst").as("cand"))
+        .union(twoHop)
+        .distinct()
+      val vecs = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val scored = cands
+        .join(vecs.select(col("vec_id").as("src"), col("embedding").as("sv")), Seq("src"))
+        .join(vecs.select(col("vec_id").as("cand"), col("embedding").as("cv")), Seq("cand"))
+        .select(col("src"), col("cand").as("dst"), Vec.l2Fast(col("sv"), col("cv")).as("dist"))
+      graft.operators.TopK.perGroup(scored, "src", "dst", "dist", 5, asc = true)
+        .select(col("src"), col("rnk"), col("dst"), col("dist"))
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id AS src, embedding::DOUBLE[] AS av FROM embeddings),
+      bb AS (SELECT vec_id AS dst, embedding::DOUBLE[] AS bv FROM embeddings),
+      sc0 AS (SELECT src, dst, sqrt(${Vec.sqlL2sq("av", "bv")}) AS dist
+              FROM a CROSS JOIN bb WHERE src <> dst),
+      r0 AS (SELECT src, dst, dist,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst) AS INT) AS rnk
+             FROM sc0),
+      knn AS (SELECT src, dst FROM r0 WHERE rnk <= 5),
+      twohop AS (SELECT e1.src, e2.dst AS cand
+                 FROM knn e1 JOIN knn e2 ON e1.dst = e2.src
+                 WHERE e1.src <> e2.dst),
+      cands AS (SELECT DISTINCT src, cand FROM
+                  (SELECT src, dst AS cand FROM knn UNION ALL SELECT src, cand FROM twohop)),
+      scored AS (SELECT c.src, c.cand AS dst,
+                        sqrt(${Vec.sqlL2sq("sa.av", "sb.bv")}) AS dist
+                 FROM cands c
+                 JOIN a sa ON sa.src = c.src
+                 JOIN bb sb ON sb.dst = c.cand),
+      rr AS (SELECT src, dst, dist,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst) AS INT) AS rnk
+             FROM scored)
+      SELECT src, rnk, dst, dist FROM rr WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
   /** Recall@10 of IP ranking vs cosine ranking — the reference's
     * evaluate_recall (roargraph_python.py:451-461) over two of our own
     * exact rankings (metric-divergence measurement). */
@@ -345,6 +399,6 @@ object VectorQs {
     """))
 
   val qs: Seq[Q] = Seq(
-    vNormalize, vPairDist, gtCosine, gtL2, gtIp, knnGraphQ,
+    vNormalize, vPairDist, gtCosine, gtL2, gtIp, knnGraphQ, knnRefine,
     recallEval, modalityStats, graphStats, roarEntryPoint, vQuantize)
 }
