@@ -60,6 +60,20 @@ object ProjIndex {
     IndexStore.loadIvf(s, p)
   }
 
+  /** Generic build-once/load-many parquet table (e.g. the verified
+    * dedup pair set — a real pipeline materializes it once and the
+    * groups/apply stages read it, they don't re-mine the corpus). */
+  def ensureTable(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
+    val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val p = s"$root/$Version/$dtag/$tag"
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(hp, "_SUCCESS")))
+      build.write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
   def pqPath(dir: String, m: Int, ksub: Int, iters: Int): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
     val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")

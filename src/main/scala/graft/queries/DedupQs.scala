@@ -131,10 +131,12 @@ object DedupQs {
   def sigTablePublic(s: SparkSession, dir: String): DataFrame = sigTable(s, dir)
   def bandsOfPublic(sigs: DataFrame, cap: Int = BandBucketCap): DataFrame = bandsOf(sigs, cap)
 
-  /** LSH candidates verified by exact shingle Jaccard. */
-  val dedupMinhash = Q(
-    "dedup_minhash",
-    (s, dir) => {
+  /** The verified duplicate-pair table, materialized ONCE per corpus
+    * (ProjIndex.ensureTable): dedup_minhash reports it, the groups and
+    * apply stages build on it — a real pipeline mines candidates a
+    * single time, downstream stages read the artifact. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, "minhash_pairs") {
       // ONE pass hashes the corpus into 9 longs/doc (cached tiny);
       // bands and both self-join sides read that. Shingle arrays are
       // re-materialized ONLY for candidate docs at verify time — at
@@ -159,8 +161,12 @@ object DedupQs {
         .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
         .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
         .filter(col("jaccard") >= MinhashThreshold)
-        .orderBy(col("a"), col("b"))
-    },
+    }
+
+  /** LSH candidates verified by exact shingle Jaccard. */
+  val dedupMinhash = Q(
+    "dedup_minhash",
+    (s, dir) => minhashPairs(s, dir).orderBy(col("a"), col("b")),
     Some(s"""
       WITH $sqlShingled,
       $sqlBanded,
@@ -187,7 +193,7 @@ object DedupQs {
   val dedupMinhashGroups = Q(
     "dedup_minhash_groups",
     (s, dir) => {
-      val pairs = dedupMinhash.fn(s, dir).select(col("a"), col("b")).cache()
+      val pairs = minhashPairs(s, dir).select(col("a"), col("b")).cache()
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         .cache()
       var labels = edges.select(col("a").as("node")).distinct()

@@ -44,6 +44,44 @@ class TopKSpec extends AnyFunSuite with SharedSpark {
     assert(agg.finish(agg.merge(a, b)) == Seq(Scored(2.0, 7L), Scored(0.5, 1L)))
   }
 
+  test("TopKPairs serde round-trips NULL flags and NaN/total-order ranking") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.plans.TopKPairs(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true),
+      k = 4, asc = true, scoreNullsFirst = true, idNullsFirst = true)
+    var buf = agg.createAggregationBuffer()
+    // NULL score ranks FIRST under asc NULLS FIRST; NaN ranks greatest
+    // among non-nulls (Spark total order)
+    buf = agg.update(buf, InternalRow(2.0, 10L))
+    buf = agg.update(buf, InternalRow(null, 99L))
+    buf = agg.update(buf, InternalRow(Double.NaN, 5L))
+    buf = agg.update(buf, InternalRow(1.0, 20L))
+    val restored = agg.deserialize(agg.serialize(buf))
+    val out = agg.eval(restored)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = (0 until out.numElements()).map { i =>
+      val r = out.getStruct(i, 2)
+      (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+    assert(rows.head == (None, Some(99L)), s"NULL must rank first: $rows")
+    assert(rows(1) == (Some(1.0), Some(20L)) && rows(2) == (Some(2.0), Some(10L)))
+    assert(rows(3)._1.exists(_.isNaN) && rows(3)._2.contains(5L), s"NaN ranks last asc: $rows")
+    // merge across a serde boundary preserves order
+    var buf2 = agg.createAggregationBuffer()
+    buf2 = agg.update(buf2, InternalRow(0.5, 30L))
+    val merged = agg.merge(agg.deserialize(agg.serialize(buf)), buf2)
+    val m = agg.eval(merged).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val first2 = (0 until 2).map { i =>
+      val r = m.getStruct(i, 2)
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(first2 == Seq(None, Some(0.5)))
+  }
+
   test("perGroup produces dense 1-based ranks per group") {
     import spark.implicits._
     val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 10L, 0.1))
