@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object TextQs {
 
+  /** Composite quality score of a text column — the exact expression
+    * text_quality reports, shared so the streaming filter
+    * (streaming.Docs) applies identical batch semantics. */
+  def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = words(text)
+    val n = size(w)
+    val punct = (length(text) -
+      length(regexp_replace(text, "[^a-z0-9 ]", ""))) * lit(1.0) / length(text)
+    val stop = ratioIn(w, stopwords("en"))
+    least(lit(1.0), n * lit(1.0) / lit(64.0)) * lit(0.3) +
+      (lit(1.0) - punct) * lit(0.3) + stop * lit(0.4)
+  }
+
+  /** sample_stratified's deterministic keep-coin (md5 prefix vs
+    * integer threshold), shared with the streaming filter. */
+  def sampleKeep(id: org.apache.spark.sql.Column, lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") <
+      when(lang === "en", lit(1L << 59)).otherwise(lit(1L << 58))
+
   /** Whitespace + BPE-ish regex token counts. */
   val tokenCount = Q(
     "token_count",
@@ -183,11 +202,8 @@ object TextQs {
   val sampleStratified = Q(
     "sample_stratified",
     (s, dir) => {
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      val threshold = when(col("lang") === "en", lit(1L << 59)).otherwise(lit(1L << 58))
       Tables.t(s, dir, "documents")
-        .filter(u < threshold)
+        .filter(sampleKeep(col("doc_id"), col("lang")))
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
         .orderBy(col("doc_id"))
     },
