@@ -44,12 +44,20 @@ object TextFns {
   def sqlCharGrams(text: String, k: Int): String =
     s"list_distinct(list_transform(range(1, greatest(length($text) - ${k - 1}, 0) + 1), i -> substr($text, i, $k)))"
 
-  /** Jaccard of two pre-distinct string arrays, as double. */
+  /** Jaccard of two pre-distinct string arrays, as double. ONE set
+    * build: |A∪B| = |A|+|B|−|A∩B| for distinct arrays, and the
+    * single-element-array lambda binds the intersection once (naming
+    * it twice would re-evaluate it — lesson 8). Numerator and
+    * denominator are the same integers as the intersect+distinct-
+    * concat form, so values are bit-identical. */
   def jaccard(a: Column, b: Column): Column =
-    (size(array_intersect(a, b)) * lit(1.0)) / size(array_distinct(concat(a, b)))
+    element_at(
+      transform(array(array_intersect(a, b)),
+        x => (size(x) * lit(1.0)) / (size(a) + size(b) - size(x))),
+      1)
 
   def sqlJaccard(a: String, b: String): String =
-    s"(len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b)))"
+    s"(list_transform([list_intersect($a, $b)], x -> len(x) * 1.0 / (len($a) + len($b) - len(x))))[1]"
 
   // ---- MinHash (one MD5 per shingle + universal integer hashes) ----
   //
