@@ -24,6 +24,7 @@ object Bench {
     queries.VectorQs3.pqIndex(spark, sfDir)
     queries.HnswQs.anchorIvf(spark, sfDir)
     queries.HnswQs.sweepIvf(spark, sfDir)
+    queries.DedupQs.minhashPairs(spark, sfDir)
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

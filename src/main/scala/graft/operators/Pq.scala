@@ -23,6 +23,7 @@ object Pq {
   /** Per-subspace codebooks: (sub, cid, cv array<double> of dsub). */
   def train(emb: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ subspaces must tile the dimension: dim=$dim m=$m")
     val dsub = dim / m
     (0 until m).map { s =>
       val sliced = emb.select(col("vec_id"),
@@ -37,6 +38,7 @@ object Pq {
     * broadcast codebook — fully codegen'd, map-side combined. */
   def encode(emb: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ subspaces must tile the dimension: dim=$dim m=$m")
     val dsub = dim / m
     val slices = array((0 until m).map(s =>
       slice(col("embedding"), s * dsub + 1, dsub)): _*)
@@ -83,7 +85,11 @@ object Pq {
         val cA = bcC.value
         val qs = bcQ.value
         val nq = qs.length
-        val dsub = if (cA(0) != null) cA(0).length else 0
+        // subspace width from ANY surviving centroid — cell (0,0) can
+        // legitimately empty out during Lloyd rounds, and dsub=0 would
+        // silently zero every ADC distance
+        val dsub = cA.collectFirst { case cv if cv != null => cv.length }.getOrElse(0)
+        require(dsub > 0, "PQ codebook has no centroids")
         // per-query LUT: lut(qi)(s*ksub + c) = ||q_sub − cent(s,c)||²
         val lut = Array.tabulate(nq) { qi =>
           val qv = qs(qi)._2

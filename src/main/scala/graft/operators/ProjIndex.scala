@@ -53,7 +53,10 @@ object ProjIndex {
     val p = ivfPath(dir, tag, k, iters)
     val hp = new Path(p)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(hp, "centroids/_SUCCESS"))) {
+    // guard on the LAST artifact saveIvf writes (cells after centroids):
+    // a crash between the two writes must re-trigger the build, not
+    // wedge every later run on a half-saved index
+    if (!fs.exists(new Path(hp, "cells/_SUCCESS"))) {
       val (cents, assigned) = build
       IndexStore.saveIvf(cents, assigned, p)
     }
@@ -87,7 +90,8 @@ object ProjIndex {
     val p = pqPath(dir, m, ksub, iters)
     val hp = new Path(p)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(hp, "cents/_SUCCESS"))) {
+    // guard on codes/_SUCCESS — the LAST write (see ensureIvf)
+    if (!fs.exists(new Path(hp, "codes/_SUCCESS"))) {
       val (cents, codes) = build
       cents.coalesce(1).write.mode("overwrite").parquet(s"$p/cents")
       codes.write.mode("overwrite").parquet(s"$p/codes")

@@ -20,9 +20,10 @@ import java.nio.ByteBuffer
   * - NULL score/id rank per scoreNullsFirst/idNullsFirst (the window's
   *   declared null ordering); the original NULL is carried in the pool
   *   (flag bits per slot) and emitted back — no sentinel values.
-  * - non-null doubles compare in Spark's total sort order
-  *   (java.lang.Double.compare: NaN greatest; -0.0 is normalized to
-  *   0.0 on insert, matching UnsafeRow normalization).
+  * - non-null doubles compare exactly like Spark's sort
+  *   (nanSafeCompareDoubles semantics: NaN greatest, NaN == NaN, and
+  *   -0.0 ties 0.0 so the id breaks the tie like row_number does);
+  *   values are stored and emitted RAW — a -0.0 in, a -0.0 out.
   */
 case class TopKPairs(
     score: Expression,
@@ -52,7 +53,9 @@ case class TopKPairs(
     val sn1 = (f1 & 1) != 0; val sn2 = (f2 & 1) != 0
     if (sn1 != sn2) return sn1 == scoreNullsFirst
     if (!sn1) {
-      val c = java.lang.Double.compare(s1, s2)
+      // == first so -0.0 ties 0.0 (Spark's nanSafeCompareDoubles);
+      // Double.compare then handles NaN (greatest, equal to itself)
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
       if (c != 0) return if (asc) c < 0 else c > 0
     }
     val in1 = (f1 & 2) != 0; val in2 = (f2 & 2) != 0
@@ -85,7 +88,6 @@ case class TopKPairs(
       case f: java.lang.Float => sv = f.doubleValue()
       case n: java.lang.Number => sv = n.doubleValue()
     }
-    if (sv == 0.0) sv = 0.0 // normalize -0.0 like UnsafeRow sort keys
     var iv = 0L
     i match {
       case null => flag |= 2

@@ -123,7 +123,7 @@ object DedupQs {
       SELECT doc_id, band_idx, bkey FROM (
         SELECT doc_id, band_idx, bkey,
                ROW_NUMBER() OVER (PARTITION BY band_idx, bkey ORDER BY doc_id) AS brn
-        FROM banded0) WHERE brn <= 20000)"""
+        FROM banded0) WHERE brn <= $BandBucketCap)"""
   }
 
   /** dev-profiling access (ProfileMinhashSpec). */
@@ -204,7 +204,10 @@ object DedupQs {
       var prevSum = labelSum(labels)
       var converged = false
       var round = 0
-      while (!converged && round < 30) {
+      // 64 rounds handles any component of diameter < 64; beyond that
+      // FAIL LOUDLY (require below) rather than silently mislabel —
+      // the oracle computes exact reachability and would go red anyway
+      while (!converged && round < 64) {
         round += 1
         val nbrMin = edges
           .join(labels, edges("b") === labels("node"))
@@ -220,6 +223,9 @@ object DedupQs {
         converged = sumNow == prevSum
         prevSum = sumNow
       }
+      require(converged,
+        "dedup_minhash_groups: label propagation did not converge in 64 rounds " +
+          "(duplicate-chain diameter >= 64) — refusing to emit mislabeled components")
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("group_size"))
       labels.join(sizes, "label")
@@ -422,7 +428,7 @@ object DedupQs {
         // bucket must not go quadratic on a skewed corpus
         .withColumn("brn", row_number().over(
           Window.partitionBy(col("band_idx"), col("bkey")).orderBy(col("vec_id"))))
-        .filter(col("brn") <= 20000)
+        .filter(col("brn") <= BandBucketCap)
         .drop("brn")
       val cand = bands.as("x")
         .join(bands.as("y"),
@@ -460,7 +466,7 @@ object DedupQs {
         SELECT vec_id, band_idx, bkey FROM (
           SELECT vec_id, band_idx, bkey,
                  ROW_NUMBER() OVER (PARTITION BY band_idx, bkey ORDER BY vec_id) AS brn
-          FROM bands) WHERE brn <= 20000),
+          FROM bands) WHERE brn <= $BandBucketCap),
       cand AS (
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         FROM capped x JOIN capped y

@@ -277,7 +277,10 @@ object HnswQs {
         pairsArr, acc0,
         (acc, p) => {
           val pi = p.getField("i"); val pj = p.getField("j")
-          val blocked =
+          // pj > |members| guards the fixed 1..10 grid against queries
+          // with fewer layer-1 neighbors (phantom pairs must neither
+          // emit NULL edges nor consume the budget)
+          val blocked = pj > size(col("bids")) ||
             coalesce(array_contains(col("exist"), (pi - 1) * 10 + pj), lit(false)) ||
               element_at(acc.getField("cnt"), pi) >= MaxNew ||
               element_at(acc.getField("cnt"), pj) >= MaxNew
@@ -354,8 +357,12 @@ object HnswQs {
         transform(array_sort(collect_list(struct(col("rnk"), col("dsrc")))),
           x => x.getField("dsrc")).as("dvec"),
         max(col("rnk")).as("nc"))
+      // index by the ACTUAL candidate count nc, not the 8-wide maximum:
+      // a level with nc < MaxCand flattens to an nc×nc matrix, and a
+      // dense-8 formula would read diagonal zeros / NULLs and corrupt
+      // every occlusion decision on sparse levels
       def dAt(c: Column, r: Column): Column =
-        element_at(col("dmat"), ((c - 1) * MaxCand + r).cast("int"))
+        element_at(col("dmat"), ((c - 1) * col("nc") + r).cast("int"))
       // candidates arrive in kNN rank order; pivot = rank 1
       // sequence() descends when start > stop, so clamp and re-guard
       // with c > nc (mirrors the oracle's "$k > nc" bound)
@@ -392,7 +399,7 @@ object HnswQs {
       val steps = (2 to MaxCand).map { k =>
         s"""t$k AS (SELECT level, src, dsts, dvec, dmat, nc,
              CASE WHEN $k > nc OR len(sel) >= $MaxSel OR len(list_filter(sel,
-                 s -> dmat[($k - 1) * $MaxCand + s] <= dvec[$k])) > 0
+                 s -> dmat[($k - 1) * nc + s] <= dvec[$k])) > 0
              THEN sel ELSE list_append(sel, $k) END AS sel FROM t${k - 1})"""
       }.mkString(",\n      ")
       s"""

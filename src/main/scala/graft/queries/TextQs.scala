@@ -69,9 +69,9 @@ object TextQs {
           punct.as("punct_ratio"),
           stop.as("stop_ratio"),
           meanLen.as("mean_word_len"),
-          (least(lit(1.0), n * lit(1.0) / lit(64.0)) * lit(0.3)
-            + (lit(1.0) - punct) * lit(0.3)
-            + stop * lit(0.4)).as("quality"))
+          // the SHARED score expression (also the streaming filter's
+          // predicate) — single source of truth for the formula
+          qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
     Some {

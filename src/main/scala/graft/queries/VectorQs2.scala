@@ -218,7 +218,8 @@ object VectorQs2 {
       val dm = pr.groupBy(col("qid")).agg(
         transform(
           array_sort(collect_list(struct(((col("r1") - 1) * 10 + col("r2")).as("k"), col("d")))),
-          x => x.getField("d")).as("dmat"))
+          x => x.getField("d")).as("dmat"),
+        max(col("r1")).as("nm"))
       val bm = top10.groupBy(col("qid")).agg(
         transform(array_sort(collect_list(struct(col("rnk"), col("bid")))),
           x => x.getField("bid")).as("bids"))
@@ -228,8 +229,11 @@ object VectorQs2 {
         .agg(transform(array_sort(collect_list(struct(col("d"), col("r2")))),
           x => x.getField("r2")).as("cands"))
         .select(col("qid"), col("r1").as("tr"), col("cands"))
+      // index by the ACTUAL member count nm (the flattened matrix is
+      // nm×nm): a corpus with fewer than 10 base vectors per query
+      // would silently corrupt lookups under a dense-10 formula
       def dAt(c: Column, r: Column): Column =
-        element_at(col("dmat"), ((c - 1) * 10 + r).cast("int"))
+        element_at(col("dmat"), ((c - 1) * col("nm") + r).cast("int"))
       val selectedCol = aggregate(
         slice(col("cands"), 2, 9),
         array(element_at(col("cands"), 1)),
@@ -238,8 +242,8 @@ object VectorQs2 {
             exists(acc, sc => dAt(c, sc) <= dAt(c, col("tr"))),
           acc).otherwise(concat(acc, array(c))))
       val selT = cnd.join(dm, Seq("qid")).join(bm, Seq("qid"))
-        .select(col("qid"), col("tr"), col("bids"), col("dmat"), selectedCol.as("sel"))
-      val ex = selT.select(col("qid"), col("tr"), col("bids"), col("dmat"),
+        .select(col("qid"), col("tr"), col("bids"), col("dmat"), col("nm"), selectedCol.as("sel"))
+      val ex = selT.select(col("qid"), col("tr"), col("bids"), col("dmat"), col("nm"),
         posexplode(col("sel")).as(Seq("si0", "c")))
       val wd = ex.select(col("qid"), col("tr"), (col("si0") + 1).as("si"), col("c"),
         element_at(col("bids"), col("tr").cast("int")).as("tbid"),
@@ -281,7 +285,8 @@ object VectorQs2 {
                     CASE WHEN m1.rnk = m2.rnk THEN 0.0
                          ELSE 1.0 - ${Vec.sqlCosine("m1.v", "m2.v")} END AS d
              FROM mem m1 JOIN mem m2 ON m1.qid = m2.qid),
-      dm AS (SELECT qid, list(d ORDER BY (r1 - 1) * 10 + r2) AS dmat FROM pr GROUP BY qid),
+      dm AS (SELECT qid, list(d ORDER BY (r1 - 1) * 10 + r2) AS dmat, MAX(r1) AS nm
+             FROM pr GROUP BY qid),
       bm AS (SELECT qid, list(bid ORDER BY rnk) AS bids FROM top10 GROUP BY qid),
       cnd AS (SELECT qid, r1 AS tr, list(r2 ORDER BY d, r2) AS cands
               FROM pr WHERE r1 <> r2 GROUP BY qid, r1),
@@ -289,22 +294,22 @@ object VectorQs2 {
             1.0.0 miscompiles a lambda nested inside list_reduce
             (nondeterministic results / garbage-value overflow), so
             each step uses only a single-level list_filter lambda */ ""}
-      s1 AS (SELECT c.qid, c.tr, bm.bids, dm.dmat, c.cands, [c.cands[1]] AS sel
+      s1 AS (SELECT c.qid, c.tr, bm.bids, dm.dmat, dm.nm, c.cands, [c.cands[1]] AS sel
              FROM cnd c JOIN dm ON dm.qid = c.qid JOIN bm ON bm.qid = c.qid),
       ${(2 to 9).map { k =>
-        s"""s$k AS (SELECT qid, tr, bids, dmat, cands,
-             CASE WHEN len(sel) >= $MaxSel OR len(list_filter(sel,
-                 s -> dmat[(cands[$k] - 1) * 10 + s] <= dmat[(cands[$k] - 1) * 10 + tr])) > 0
+        s"""s$k AS (SELECT qid, tr, bids, dmat, nm, cands,
+             CASE WHEN $k > len(cands) OR len(sel) >= $MaxSel OR len(list_filter(sel,
+                 s -> dmat[(cands[$k] - 1) * nm + s] <= dmat[(cands[$k] - 1) * nm + tr])) > 0
              THEN sel ELSE list_append(sel, cands[$k]) END AS sel FROM s${k - 1})"""
       }.mkString(",\n      ")},
-      selt AS (SELECT qid, tr, bids, dmat, sel FROM s9),
-      ex AS (SELECT qid, tr, bids, dmat, u.si, u.c
-             FROM (SELECT qid, tr, bids, dmat,
+      selt AS (SELECT qid, tr, bids, dmat, nm, sel FROM s9),
+      ex AS (SELECT qid, tr, bids, dmat, nm, u.si, u.c
+             FROM (SELECT qid, tr, bids, dmat, nm,
                           unnest(list_transform(range(1, len(sel) + 1),
                                  i -> {'si': i, 'c': sel[i]})) AS u
                    FROM selt)),
       wd AS (SELECT qid, tr, si, c, bids[tr] AS tbid, bids[c] AS cbid,
-                    dmat[(c - 1) * 10 + tr] AS d
+                    dmat[(c - 1) * nm + tr] AS d
              FROM ex),
       ev AS (SELECT tbid AS src, cbid AS dst, d, qid, tr, si, 0 AS kind FROM wd
              UNION ALL
