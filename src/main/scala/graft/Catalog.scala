@@ -4,7 +4,8 @@ package graft
   * themselves here; SparkEntry derives queries/oracleSql from this. */
 object Catalog {
   val all: Seq[Q] =
-    queries.Relational.qs ++ queries.Relational2.qs ++ queries.VectorQs.qs ++
+    queries.Relational.qs ++ queries.Relational2.qs ++ queries.Relational3.qs ++
+      queries.VectorQs.qs ++
       queries.VectorQs2.qs ++ queries.VectorQs3.qs ++ queries.HnswQs.qs ++
       queries.IncrementalQs.qs ++
       queries.TextQs.qs ++ queries.DedupQs.qs ++
