@@ -26,6 +26,16 @@ object Bench {
     queries.HnswQs.sweepIvf(spark, sfDir)
     queries.DedupQs.minhashPairs(spark, sfDir)
     spark.catalog.clearCache()
+    // JVM warm-up, untimed: the first query executed in a fresh JVM
+    // pays Spark/Catalyst/whole-stage-codegen class loading + JIT
+    // (measured ~8s on the alphabetically-first catalog query, which
+    // made ann_quality_sweep look 2x its steady-state cost). Exercise
+    // the shared machinery once — parquet scan, broadcast join, vector
+    // kernels, TopKAgg pools, shuffle — then time queries warm.
+    Seq("gt_topk_cosine", "q3_join", "token_count").foreach { w =>
+      SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column — count() would let

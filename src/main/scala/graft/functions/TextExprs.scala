@@ -1,0 +1,258 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass winnowing fingerprint kernel.
+  *
+  * Computes, for a text column, the full doc_fingerprint triple in a
+  * single tight loop over the UTF-8 bytes:
+  *
+  *   h_i    = md5hex(substr(text, i, 8))      i = 1 .. max(chars-7, 0)
+  *   n_grams = |h|
+  *   min_fp  = lexicographic min of h (null when no grams)
+  *   n_fp    = |distinct{ min(h[j..j+3]) : j = 1 .. max(|h|-3, 0) }|
+  *
+  * Identical values to the HOF chain `transform(sequence(...), i ->
+  * md5(substr(text, i, 8)))` + array_min + slice-window mins (and to
+  * the DuckDB oracle), but ~10x cheaper: higher-order functions run
+  * interpreted per element and materialize a ~300-element string array
+  * per row, which then gets re-sliced per window position. Here the
+  * MD5 instance is reused, substrings are byte ranges (no per-element
+  * Column evaluation), and the window minimum is a bounded scan over
+  * the last 4 hashes. Substring positions are CODE POINTS (what both
+  * Spark's substr and DuckDB's substr count), found by scanning UTF-8
+  * lead bytes.
+  *
+  * Short-text edges follow the oracle's clean semantics: no grams →
+  * (0, null, 0); fewer than 4 grams → n_fp = 0. (The HOF form is
+  * undefined below 11 chars because Spark's `sequence(1, 0)` descends —
+  * CLAUDE.md lesson 10; corpus minimum is 44 chars so both forms agree
+  * on real data, and WinnowSpec pins equality.)
+  *
+  * Reference semantics: rolling-hash document fingerprinting
+  * (winnowing), SURVEY §2D doc_fingerprint.
+  */
+case class WinnowFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Gram = 8
+  private val WinW = 4
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("min_fp", StringType, nullable = true),
+    StructField("n_fp", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprint needs a string column, got $other")
+    }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: MessageDigest, bytes: Array[Byte], off: Int, len: Int): String = {
+    md.update(bytes, off, len)
+    val d = md.digest() // resets the digest for the next window
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // code-point start offsets (UTF-8 lead bytes), + end sentinel
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) nChars += 1
+      i += 1
+    }
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = bytes.length
+
+    val nGrams = math.max(nChars - (Gram - 1), 0)
+    if (nGrams == 0)
+      return InternalRow(0, null, 0)
+
+    val md = MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](nGrams)
+    var minFp: String = null
+    i = 0
+    while (i < nGrams) {
+      val off = starts(i)
+      val h = md5Hex(md, bytes, off, starts(i + Gram) - off)
+      hashes(i) = h
+      if (minFp == null || h.compareTo(minFp) < 0) minFp = h
+      i += 1
+    }
+
+    val nWin = math.max(nGrams - (WinW - 1), 0)
+    val distinct = new java.util.HashSet[String]()
+    var j = 0
+    while (j < nWin) {
+      var m = hashes(j)
+      var k = j + 1
+      while (k < j + WinW) {
+        if (hashes(k).compareTo(m) < 0) m = hashes(k)
+        k += 1
+      }
+      distinct.add(m)
+      j += 1
+    }
+    InternalRow(nGrams, UTF8String.fromString(minFp), distinct.size)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All 16 hyperplane-LSH band keys of an embedding in ONE compact
+  * expression. The inline form — 64 `when(VecDot(v, typedlit(plane))
+  * > 0, ...)` columns — embeds 64 literal 64-dim arrays into the plan
+  * and generates so much Java that janino compilation dominates the
+  * query (~1s per stage carrying the expression, re-paid at every
+  * stage boundary). Here the plane bank lives in the expression object
+  * and the whole signature is one tight loop.
+  *
+  * Bit-exact with the inline form and the DuckDB oracle: each dot is a
+  * LEFT FOLD in element order, the float element widened to double per
+  * element; key bit = dot > 0 (SURVEY §6 determinism contract;
+  * reference: simple_sim_hash.py hyperplane signatures).
+  */
+case class LshBandKeys(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import graft.operators.Lsh
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_band_keys needs array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  // flat plane bank: planes(j)(d) at j * Dim + d
+  @transient private lazy val flatPlanes: Array[Double] = {
+    val out = new Array[Double](Lsh.PairBands * Lsh.PairBandBits * Lsh.Dim)
+    var j = 0
+    while (j < Lsh.PairBands * Lsh.PairBandBits) {
+      var d = 0
+      while (d < Lsh.Dim) { out(j * Lsh.Dim + d) = Lsh.bandPlanes(j)(d); d += 1 }
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(v.numElements(), Lsh.Dim)
+    val keys = new Array[Int](Lsh.PairBands)
+    var band = 0
+    while (band < Lsh.PairBands) {
+      var key = 0
+      var bit = 0
+      while (bit < Lsh.PairBandBits) {
+        val j = band * Lsh.PairBandBits + bit
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          dot += x * flatPlanes(j * Lsh.Dim + d)
+          d += 1
+        }
+        if (dot > 0) key |= 1 << bit
+        bit += 1
+      }
+      keys(band) = key
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct character k-grams in first-occurrence order — the tight-
+  * loop twin of `array_distinct(transform(sequence(...), i ->
+  * substr(text, i, k)))` (TextFns.charGrams). Identical output order
+  * (first occurrence, like array_distinct) and identical code-point
+  * substring semantics; skips the interpreted per-element HOF evals
+  * and the pre-distinct ~|text|-element array (measured 3.8s → <1s on
+  * the sf0.1 gram build). */
+case class CharGramsExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_grams needs a string column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    // copy: the emitted gram UTF8Strings are zero-copy views into this
+    // buffer, and getBytes may alias the scan's reused row buffer
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    val bytes = java.util.Arrays.copyOf(raw, raw.length)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) nChars += 1
+      i += 1
+    }
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = bytes.length
+
+    val n = math.max(nChars - (k - 1), 0)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i < n) {
+      val off = starts(i)
+      seen.add(UTF8String.fromBytes(bytes, off, starts(i + k) - off))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

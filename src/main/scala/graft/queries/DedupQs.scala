@@ -377,9 +377,13 @@ object DedupQs {
     (s, dir) => {
       // localCheckpoint: the gram table feeds BOTH join sides — without
       // the boundary each side re-runs the per-char gram build and the
-      // join doubles it again (measured 14.3s vs 5.1s at sf0.1)
+      // join doubles it again (measured 14.3s vs 5.1s at sf0.1).
+      // CharGramsExpr kernel: same distinct grams, tight loop instead
+      // of interpreted per-element HOFs (3.8s → <1s gram build)
+      val bc = org.apache.spark.sql.graftbridge.Bridge
       val g = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), charGrams(lower(col("text")), 3).as("g"))
+        .select(col("doc_id"),
+          bc.column(graft.functions.CharGramsExpr(bc.expr(lower(col("text"))), 3)).as("g"))
         .localCheckpoint()
       g.select(col("doc_id").as("a"), col("g").as("ga"))
         .join(g.select(col("doc_id").as("b"), col("g").as("gb")),
@@ -411,32 +415,47 @@ object DedupQs {
     (s, dir) => {
       import graft.operators.Lsh
       val e = Tables.t(s, dir, "embeddings")
-      def bkeyCol(b: Int): Column =
-        (0 until Lsh.PairBandBits).map { bit =>
-          val p = typedlit(Lsh.bandPlanes(Lsh.PairBandBits * b + bit))
-          when(Vec.dotFast(col("embedding"), p) > 0, lit(1 << bit)).otherwise(lit(0))
-        }.reduce((a: Column, b: Column) => a + b).cast("int")
-      // one hashing pass → 16 ints per vector, cached; the band union
-      // and both join sides read attributes (CollapseProject would
-      // otherwise inline 64 dot products per band branch)
-      val sigs = e.select(
-        col("vec_id") +: (0 until Lsh.PairBands).map(b => bkeyCol(b).as(s"k$b")): _*).cache()
-      val bands = (0 until Lsh.PairBands).map { b =>
-        sigs.select(col("vec_id"), lit(b).as("band_idx"), col(s"k$b").as("bkey"))
-      }.reduce(_.union(_))
+      // ONE hashing pass → a 16-int signature array per vector via the
+      // compact LshBandKeys kernel. The inline form (64 VecDot columns
+      // over 64 literal plane arrays) generated so much Java that
+      // janino compilation dominated the query — ~1s per stage
+      // carrying the expression (lesson: plan-size cost is real even
+      // when the data is small). Built in a Project so posexplode
+      // generates from an ATTRIBUTE (lesson 2).
+      val bc = org.apache.spark.sql.graftbridge.Bridge
+      val sigs = e.select(col("vec_id"),
+        bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")))).as("ks"))
+      val bands = sigs
+        .select(col("vec_id"), col("ks"),
+          posexplode(col("ks")).as(Seq("band_idx", "bkey")))
         // per-bucket ceiling (same 20k cap as simhash_ann): one hot
-        // bucket must not go quadratic on a skewed corpus
+        // bucket must not turn the candidate self-join quadratic on a
+        // skewed corpus
         .withColumn("brn", row_number().over(
           Window.partitionBy(col("band_idx"), col("bkey")).orderBy(col("vec_id"))))
         .filter(col("brn") <= BandBucketCap)
         .drop("brn")
+      // first-match-band dedup: a pair colliding in several bands is
+      // emitted ONLY from its lowest matching band (rows carry both
+      // signature arrays, so "an earlier band also matched" is a local
+      // ≤15-int-compare predicate). Same candidate SET as
+      // join-then-distinct, but the multiply-matched pair stream never
+      // shuffles into a distinct — at 100 TB that shuffle carries every
+      // duplicate. Under a binding bucket cap the earlier-band test
+      // sees the uncapped key match, so a capped-out earlier band
+      // suppresses its pairs — candidates were probabilistic under the
+      // cap already; the test corpus never binds it (max bucket <<
+      // 20k, oracle unaffected).
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
+        .filter(!((0 until Lsh.PairBands - 1).map { b =>
+          col("x.band_idx") > b &&
+            element_at(col("x.ks"), b + 1) === element_at(col("y.ks"), b + 1)
+        }.reduce((p, q) => p || q)))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-        .distinct()
       cand
         .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
         .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))

@@ -97,14 +97,23 @@ object TextQs {
     (s, dir) => {
       val w = words(lower(col("text")))
       val langs = stopwords.keys.toSeq.sorted
-      val scores = langs.map(l => l -> ratioIn(w, stopwords(l))).toMap
+      // cache boundary: the dominance fold references each language
+      // ratio up to |langs|-1 times and `hit` references pred again —
+      // on expressions that would re-run the word-array filter ~25x
+      // per row (lesson 8); on cached ratio ATTRIBUTES each ratio is
+      // computed once
+      val scored = Tables.t(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang")) ++
+          langs.map(l => ratioIn(w, stopwords(l)).as(s"r_$l")): _*)
+        .cache()
+      val scores = langs.map(l => l -> col(s"r_$l")).toMap
       val pred = langs.foldRight(lit(langs.last)) { (l, acc) =>
         val dominates = langs.filter(_ > l)
           .map(o => scores(l) >= scores(o))
           .reduceOption(_ && _).getOrElse(lit(true))
         when(dominates, lit(l)).otherwise(acc)
       }
-      Tables.t(s, dir, "documents")
+      scored
         .select(
           col("doc_id"), col("lang").as("labeled"),
           pred.as("pred"),
@@ -134,22 +143,21 @@ object TextQs {
   val docFingerprint = Q(
     "doc_fingerprint",
     (s, dir) => {
-      val hashes = transform(
-        sequence(lit(1), greatest(length(col("text")) - 7, lit(0))),
-        i => md5(col("text").substr(i, lit(8))))
-      // cache boundary: the rolling-hash array is referenced by THREE
-      // downstream expressions — without materialization each one
-      // re-evaluates the full per-position md5 chain (measured 10.2s
-      // vs 3.5s at sf0.1)
+      // one-pass kernel (WinnowFingerprint): hashes, min, window mins
+      // and the distinct count in a single eval — no ~300-element hash
+      // array materialized per row, no interpreted per-element HOFs
+      // (measured 6.0s → 0.6s at sf0.1). The struct lands behind a
+      // cache boundary so the three field extractions don't re-run the
+      // kernel (lesson 8).
+      val bc = org.apache.spark.sql.graftbridge.Bridge
+      val wf = bc.column(graft.functions.WinnowFingerprint(bc.expr(col("text"))))
       Tables.t(s, dir, "documents")
-        .select(col("doc_id"), hashes.as("h")).cache()
+        .select(col("doc_id"), wf.as("w")).cache()
         .select(
           col("doc_id"),
-          size(col("h")).as("n_grams"),
-          array_min(col("h")).as("min_fp"),
-          size(array_distinct(transform(
-            sequence(lit(1), greatest(size(col("h")) - 3, lit(0))),
-            j => array_min(slice(col("h"), j, lit(4)))))).as("n_fp"))
+          col("w").getField("n_grams").as("n_grams"),
+          col("w").getField("min_fp").as("min_fp"),
+          col("w").getField("n_fp").as("n_fp"))
         .orderBy(col("doc_id"))
     },
     Some("""
