@@ -6,9 +6,10 @@ object Catalog {
   val all: Seq[Q] =
     queries.Relational.qs ++ queries.Relational2.qs ++ queries.Relational3.qs ++
       queries.VectorQs.qs ++
-      queries.VectorQs2.qs ++ queries.VectorQs3.qs ++ queries.HnswQs.qs ++
+      queries.VectorQs2.qs ++ queries.VectorQs3.qs ++ queries.VectorQs4.qs ++
+      queries.HnswQs.qs ++
       queries.IncrementalQs.qs ++
-      queries.TextQs.qs ++ queries.DedupQs.qs ++
+      queries.TextQs.qs ++ queries.TextQs2.qs ++ queries.DedupQs.qs ++
       queries.MultimodalQs.qs
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =

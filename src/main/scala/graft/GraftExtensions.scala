@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{VecCosine, VecDot, VecL2Sq, VecScaledL2}
+import graft.functions.{CharGramsExpr, LshBandKeys, VecCosine, VecDot, VecL2Sq, VecScaledL2, WinnowFingerprint, WordShinglesExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,7 +45,26 @@ object GraftFunctions {
       (args: Seq[Expression]) => VecCosine(args(0), args(1))),
     (FunctionIdentifier("vec_scaled_l2"),
       info("vec_scaled_l2", "vec_scaled_l2(a, b, scale) - sum (a-b)^2/scale"),
-      (args: Seq[Expression]) => VecScaledL2(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => VecScaledL2(args(0), args(1), args(2))),
+    (FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(text) - struct(n_grams, min_fp, n_fp) winnowing fingerprint"),
+      (args: Seq[Expression]) => WinnowFingerprint(args(0))),
+    (FunctionIdentifier("char_grams"),
+      info("char_grams", "char_grams(text, k) - distinct character k-grams, first-occurrence order"),
+      (args: Seq[Expression]) => CharGramsExpr(args(0), intArg(args(1), "char_grams"))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(words, n) - distinct n-word shingles, first-occurrence order"),
+      (args: Seq[Expression]) => WordShinglesExpr(args(0), intArg(args(1), "word_shingles"))),
+    (FunctionIdentifier("lsh_band_keys"),
+      info("lsh_band_keys", "lsh_band_keys(vec) - 16 hyperplane-LSH band keys of an embedding"),
+      (args: Seq[Expression]) => LshBandKeys(args(0))))
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: the size argument must be an integer literal, got $other")
+  }
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -25,8 +25,34 @@ object Prof {
     noop(queries.VectorQs.qs.find(_.name == "gt_topk_cosine").get.fn(s, dir))
     s.catalog.clearCache()
 
-    for (q <- Seq("doc_fingerprint", "dedup_embedding", "ngram_jaccard", "dedup_simhash", "lang_id")) {
+    for (q <- Seq("contamination_check", "knn_descent")) {
       time(s"$q warm")(noop(Catalog.queriesMap(q)(s, dir)))
+      s.catalog.clearCache()
+    }
+    // contamination stages
+    {
+      import graft.functions.TextFns._
+      val d0 = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), wordShingles(words(lower(col("text"))), 5).as("sh"))
+      val docs = time("cont: shingle build + cp")(d0.localCheckpoint())
+      val bench = docs.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+        .select(md5(col("g")).as("gh"))
+      time("cont: bench noop")(noop(bench))
+      val train = docs.filter(col("doc_id") % 100 =!= 0)
+      val hits = train
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+        .join(broadcast(bench), Seq("gh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      time("cont: hits noop")(noop(hits))
+      time("cont: full rest")(noop(
+        train.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+          .orderBy(col("doc_id"))))
       s.catalog.clearCache()
     }
 

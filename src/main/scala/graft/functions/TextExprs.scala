@@ -125,6 +125,55 @@ case class WinnowFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct n-word shingles of a word array, first-occurrence order —
+  * the tight-loop twin of TextFns.wordShingles (`array_distinct(
+  * transform(sequence(...), i -> concat_ws(" ", w[i], ..., w[i+n-1])))`).
+  * The HOF form evaluates n element_ats + a concat per position
+  * interpreted (measured 9.7s on the sf0.1 contamination shingle
+  * build; this kernel is sub-second). Byte-identical output:
+  * UTF8String.concatWs with a single-space separator is exactly
+  * concat_ws(" ", ...). */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs array<string>, got $other")
+    }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    val nSh = math.max(m - (n - 1), 0)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < nSh) {
+      var j = 0
+      while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+      // concatWs copies into a fresh buffer, so the shingle owns its
+      // bytes even if the input array aliases a reused row buffer
+      seen.add(UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All 16 hyperplane-LSH band keys of an embedding in ONE compact
   * expression. The inline form — 64 `when(VecDot(v, typedlit(plane))
   * > 0, ...)` columns — embeds 64 literal 64-dim arrays into the plan

@@ -22,10 +22,25 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     assert(r.getDouble(3) == 4.0)
   }
 
+  test("text kernels are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT winnow_fingerprint('abcdefghijkl').n_grams AS ng,
+               char_grams('abab', 2) AS cg,
+               word_shingles(array('a', 'b', 'c'), 2) AS ws,
+               size(lsh_band_keys(array(1.0D, -1.0D))) AS nk
+      """).head()
+    assert(r.getInt(0) == 5)
+    assert(r.getSeq[String](1) == Seq("ab", "ba"))
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getInt(3) == graft.operators.Lsh.PairBands)
+  }
+
   test("extensions class registers the same functions at session build") {
     // the injection list is shared — config path exercises the same builders
     assert(GraftFunctions.all.map(_._1.funcName) ==
-      Seq("vec_dot", "vec_l2sq", "vec_cosine", "vec_scaled_l2"))
+      Seq("vec_dot", "vec_l2sq", "vec_cosine", "vec_scaled_l2",
+        "winnow_fingerprint", "char_grams", "word_shingles", "lsh_band_keys"))
     val ext = new GraftExtensions
     val holder = new org.apache.spark.sql.SparkSessionExtensions
     ext(holder) // must not throw; builders validated via the SQL test above

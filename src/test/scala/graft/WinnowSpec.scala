@@ -68,6 +68,27 @@ class WinnowSpec extends AnyFunSuite with SharedSpark {
     assert(short.forall(_.getSeq[String](0).isEmpty))
   }
 
+  test("WordShinglesExpr matches the HOF wordShingles form, order included") {
+    import spark.implicits._
+    // ≥5 words: below that the HOF's sequence(1, 0) descends into an
+    // element_at(w, 0) error (lesson 10) — kernel edges pinned below
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .union(Seq((9000001L, "a b c d e f g"),
+        (9000003L, "многоязычный текст с пробелами здесь да")).toDF("doc_id", "t"))
+    val w = functions.TextFns.words(col("t"))
+    val hof = docs.select(col("doc_id"), functions.TextFns.wordShingles(w, 5).as("sh"))
+    val kernel = docs.select(col("doc_id"),
+      Bridge.column(functions.WordShinglesExpr(Bridge.expr(w), 5)).as("sh"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    // short/empty inputs: no shingles (DuckDB range semantics)
+    val short = Seq((1L, ""), (2L, "x y")).toDF("doc_id", "t")
+      .select(Bridge.column(functions.WordShinglesExpr(
+        Bridge.expr(functions.TextFns.words(col("t"))), 5)).as("sh"))
+      .collect()
+    assert(short.forall(_.getSeq[String](0).isEmpty))
+  }
+
   test("short-text edges: clean oracle semantics") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "short"), (3L, "12345678"), (4L, "1234567890"))
