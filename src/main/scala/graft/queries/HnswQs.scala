@@ -151,7 +151,35 @@ object HnswQs {
       BeamSearch.runFromSeeds(edges, queries, base, seeds, ef = 10, rounds = 3)
         .orderBy(col("qid"), col("rnk"))
     },
-    None)
+    // oracle (round 3): anchor quantizer via the SqlIvf unroll, anchor
+    // nodes = nearest base per FLOAT-cast centroid (cv::REAL[] mirrors
+    // Spark's cast to array<float> exactly), top-3 anchor seeds per
+    // query, then the same unrolled beam rounds as graph_beam_search
+    Some(s"""
+      WITH ${VectorQs2.sqlProjCtes},
+      proj AS (SELECT src, dst FROM cp WHERE dr <= ${VectorQs2.DegCap}),
+      ${SqlIvf.ctes("vec_id % 50 <> 0", 8, 2, "a")},
+      qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      bb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      cf AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM acents),
+      anch AS (SELECT DISTINCT bid FROM (
+                 SELECT c.cid, b.bid,
+                        ROW_NUMBER() OVER (PARTITION BY c.cid
+                          ORDER BY sqrt(${Vec.sqlL2sq("c.cvf", "b.v")}), b.bid) AS rn
+                 FROM cf c CROSS JOIN bb b) WHERE rn = 1),
+      seeds AS (SELECT qid, bid FROM (
+                  SELECT q.qid, a.bid,
+                         ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY sqrt(${Vec.sqlL2sq("q.qv", "b.v")}), a.bid) AS rn
+                  FROM qq q CROSS JOIN anch a JOIN bb b ON b.bid = a.bid) WHERE rn <= 3),
+      beam0 AS (SELECT s.qid, s.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+                FROM seeds s JOIN qq q ON q.qid = s.qid JOIN bb v ON v.bid = s.bid),
+      ${VectorQs3.sqlBeamRounds(3, 10)}
+      SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk,
+             bid, dist
+      FROM beam3
+      ORDER BY qid, rnk
+    """))
 
   /** Recall-vs-parameter sweep (reference benchmark CSVs,
     * README_RoarGraph.md:56-112 / benchmark_hnsw_vs_roargraph.py):
@@ -304,7 +332,76 @@ object HnswQs {
         .select(col("src"), col("dst"), col("qid").as("first_qid"))
         .orderBy(col("src"), col("dst"))
     },
-    None)
+    // oracle (round 3): the per-query 45-pair budget fold UNROLLED as
+    // 45 chained CTE steps — each step's (i, j) are literals, so the
+    // cnt update is constant-index list surgery (slice || [cnt+1] ||
+    // slice) and every lambda stays single-level (lesson 9); pairs are
+    // encoded i*100+j and decoded at emission
+    Some {
+      val MaxNew = 4
+      val TopK10 = 10
+      val pairs = for (i <- 1 to 9; j <- i + 1 to 10) yield (i, j)
+      def cntUpd(i: Int, j: Int): String = {
+        // increment positions i and j (1-based, i < j) of the 10-slot list
+        val parts = Seq(
+          if (i > 1) Some(s"cnt[1:${i - 1}]") else None,
+          Some(s"[cnt[$i] + 1]"),
+          if (j > i + 1) Some(s"cnt[${i + 1}:${j - 1}]") else None,
+          Some(s"[cnt[$j] + 1]"),
+          if (j < 10) Some(s"cnt[${j + 1}:10]") else None).flatten
+        parts.mkString(" || ")
+      }
+      val steps = pairs.zipWithIndex.map { case ((i, j), s0) =>
+        val s = s0 + 1
+        s"""t$s AS (SELECT qid, bids, exist, CASE WHEN blocked THEN ps ELSE list_append(ps, ${i * 100 + j}) END AS ps,
+               CASE WHEN blocked THEN cnt ELSE ${cntUpd(i, j)} END AS cnt
+             FROM (SELECT qid, bids, exist, ps, cnt,
+                     ($j > len(bids) OR COALESCE(list_contains(exist, ${(i - 1) * 10 + j}), false)
+                      OR cnt[$i] >= $MaxNew OR cnt[$j] >= $MaxNew) AS blocked
+                   FROM t${s - 1}))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH lv AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${sqlLevel("vec_id")} AS lvl
+                  FROM embeddings),
+      l1 AS (SELECT vec_id AS bid, v FROM lv WHERE lvl >= 1 AND vec_id % 50 <> 0),
+      qx AS (SELECT vec_id AS qid, v AS qv FROM lv WHERE vec_id % 50 = 0),
+      topc AS (SELECT qid, bid, rnk FROM (
+                 SELECT q.qid, b.bid,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+                          ORDER BY ${Vec.sqlCosine("q.qv", "b.v")} DESC, b.bid) AS INT) AS rnk
+                 FROM qx q CROSS JOIN l1 b) WHERE rnk <= $TopK10),
+      bm AS (SELECT qid, list(bid ORDER BY rnk) AS bids FROM topc GROUP BY qid),
+      l1knn AS (SELECT esrc, edst FROM (
+                  SELECT a.bid AS esrc, b.bid AS edst,
+                         ROW_NUMBER() OVER (PARTITION BY a.bid
+                           ORDER BY sqrt(${Vec.sqlL2sq("a.v", "b.v")}), b.bid) AS rn
+                  FROM l1 a JOIN l1 b ON a.bid <> b.bid) WHERE rn <= $LevelK),
+      exist AS (SELECT x.qid, list((x.rnk - 1) * 10 + y.rnk) AS exist
+                FROM topc x JOIN topc y ON x.qid = y.qid
+                JOIN l1knn e ON e.esrc = x.bid AND e.edst = y.bid
+                GROUP BY x.qid),
+      t0 AS (SELECT bm.qid, bm.bids, exist.exist,
+                    CAST([] AS INT[]) AS ps,
+                    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0] AS cnt
+             FROM bm LEFT JOIN exist ON exist.qid = bm.qid),
+      $steps,
+      ex AS (SELECT qid, bids, u.ei, u.p
+             FROM (SELECT qid, bids,
+                          unnest(list_transform(range(1, len(ps) + 1),
+                                 e -> {'ei': e, 'p': ps[e]})) AS u
+                   FROM t45)),
+      wd AS (SELECT qid, ei, bids[p // 100] AS u, bids[p % 100] AS v FROM ex),
+      ev AS (SELECT u AS src, v AS dst, qid, ei, 0 AS kind FROM wd
+             UNION ALL
+             SELECT v AS src, u AS dst, qid, ei, 1 AS kind FROM wd),
+      dd AS (SELECT src, dst, qid FROM (
+               SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY src, dst
+                        ORDER BY qid, ei, kind) AS rn
+               FROM ev) WHERE rn = 1)
+      SELECT src, dst, qid AS first_qid FROM dd
+      ORDER BY src, dst
+      """
+    })
 
   /** HNSW neighbor-selection with the diversity heuristic: per (level,
     * node) take the 8 nearest same-level candidates and occlusion-prune

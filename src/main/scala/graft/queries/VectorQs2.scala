@@ -177,7 +177,7 @@ object VectorQs2 {
   // ---- RoarGraph projection graph (roargraph_python.py:233-294) ----
 
   private val MaxSel = 8 // M_pjbp: max selected neighbors per target
-  private val DegCap = 16 // M_pjbp * 2: reference reverse-edge degree cap
+  private[queries] val DegCap = 16 // M_pjbp * 2: reference reverse-edge degree cap
 
   /** Bipartite query→base top-10 lists projected to base↔base edges
     * with RoarGraph occlusion pruning (roargraph_python.py:177-230):
@@ -274,7 +274,7 @@ object VectorQs2 {
   /** Shared oracle CTE chain producing `cp` = the capped, deduped
     * projection-graph edge events (roar_projection_graph and
     * roar_entry_point_degree both select from it). */
-  private lazy val sqlProjCtes = s"""
+  private[queries] lazy val sqlProjCtes = s"""
       q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
       sc AS (SELECT qid, bid, ${Vec.sqlCosine("qv", "bv")} AS score FROM b CROSS JOIN q),

@@ -13,7 +13,9 @@ object VectorQs3 {
   private val K = 16
   private val Iters = 3
 
-  /** k-means centroids + inverted-list sizes. */
+  /** k-means centroids + inverted-list sizes. Oracle'd (round 3): the
+    * fixed-iteration Lloyd build unrolls into SqlIvf.ctes, proven
+    * bit-identical to Ivf.centroids' quantized-exact means. */
   val ivfBuild = Q(
     "ivf_build",
     (s, dir) => {
@@ -26,7 +28,13 @@ object VectorQs3 {
           sqrt(Vec.norm2(col("cv"))).as("centroid_norm"))
         .orderBy(col("cid"))
     },
-    None)
+    Some(s"""
+      WITH ${SqlIvf.ctes("true", K, Iters, "b")},
+      nv AS (SELECT cid, COUNT(*) AS n_vecs FROM bassign GROUP BY cid)
+      SELECT c.cid, nv.n_vecs, sqrt(${Vec.sqlNorm2("c.cv")}) AS centroid_norm
+      FROM bcents c JOIN nv ON nv.cid = c.cid
+      ORDER BY c.cid
+    """))
 
   /** The persisted base-side IVF quantizer every search query loads
     * (build-once k-means; search must time search, not a rebuild). */
@@ -38,7 +46,10 @@ object VectorQs3 {
     }
 
   /** nprobe=4 routed search, exact rerank within probed cells — over
-    * the PERSISTED IVF index (IndexStore.loadIvf). */
+    * the PERSISTED IVF index (IndexStore.loadIvf). Oracle'd (round 3):
+    * the oracle re-derives the same quantizer via SqlIvf and routes
+    * identically, which also guards the persisted artifact against
+    * staleness. */
   val ivfSearch = Q(
     "ivf_search",
     (s, dir) => {
@@ -48,12 +59,53 @@ object VectorQs3 {
       Ivf.search(base, cents, queries, nprobe = 4, k = 10)
         .orderBy(col("qid"), col("rnk"))
     },
-    None)
+    Some(s"""
+      WITH ${SqlIvf.ctes("vec_id % 50 <> 0", K, Iters, "b")},
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      pr AS (SELECT qid, cid FROM (
+               SELECT q.qid, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${Vec.sqlL2sq("q.qv", "c.cv")}, c.cid) AS rn
+               FROM q CROSS JOIN bcents c) WHERE rn <= 4),
+      cand AS (SELECT q.qid, e.vec_id AS bid, sqrt(${Vec.sqlL2sq("q.qv", "e.v")}) AS dist
+               FROM pr JOIN bassign a ON a.cid = pr.cid
+               JOIN be e ON e.vec_id = a.vec_id
+               JOIN q ON q.qid = pr.qid),
+      r AS (SELECT qid, bid, dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk
+            FROM cand)
+      SELECT qid, rnk, bid, dist FROM r WHERE rnk <= 10
+      ORDER BY qid, rnk
+    """))
+
+  /** DuckDB mirror of BeamSearch.run: rounds unrolled as chained CTEs.
+    * Each round: expand the beam over the edge table (distinct — the
+    * TopKAgg pool collapses exact-duplicate (score, id) revisits, so
+    * the mirror dedupes before ranking), rescore, keep top-ef by
+    * (dist, bid). Requires CTEs `proj`(src, dst), `qq`(qid, qv),
+    * `bb`(bid, v), `beam0`(qid, bid, dist) in scope. */
+  private[queries] def sqlBeamRounds(rounds: Int, ef: Int): String =
+    (1 to rounds).map { r =>
+      s"""ex$r AS (SELECT DISTINCT b.qid, e.dst AS bid
+             FROM beam${r - 1} b JOIN proj e ON e.src = b.bid),
+      sc$r AS (SELECT x.qid, x.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+               FROM ex$r x JOIN qq q ON q.qid = x.qid JOIN bb v ON v.bid = x.bid),
+      un$r AS (SELECT DISTINCT qid, bid, dist FROM
+                 (SELECT qid, bid, dist FROM beam${r - 1}
+                  UNION ALL SELECT qid, bid, dist FROM sc$r)),
+      beam$r AS (SELECT qid, bid, dist FROM (
+                   SELECT qid, bid, dist,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rn
+                   FROM un$r) WHERE rn <= $ef)"""
+    }.mkString(",\n      ")
 
   /** Beam search over the PERSISTED projection graph from the global
     * entry point (reference search loop, roargraph_python.py:325-420).
     * The graph is built once via ProjIndex/IndexStore and loaded here,
-    * so this query times search — not an index rebuild. */
+    * so this query times search — not an index rebuild. Oracle'd
+    * (round 3): the oracle rebuilds the projection graph from the
+    * roar_projection_graph CTE chain (hash-proven identical) and
+    * unrolls the 3 fixed beam rounds — which also staleness-guards
+    * the persisted artifact. */
   val graphBeamSearch = Q(
     "graph_beam_search",
     (s, dir) => {
@@ -74,7 +126,21 @@ object VectorQs3 {
       BeamSearch.run(edges, queries, base, entry, ef = 10, rounds = 3)
         .orderBy(col("qid"), col("rnk"))
     },
-    None)
+    Some(s"""
+      WITH ${VectorQs2.sqlProjCtes},
+      proj AS (SELECT src, dst FROM cp WHERE dr <= ${VectorQs2.DegCap}),
+      dg AS (SELECT src, COUNT(*) AS degree FROM proj GROUP BY src),
+      ep AS (SELECT src AS ebid FROM dg ORDER BY degree DESC, src LIMIT 1),
+      qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      bb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      beam0 AS (SELECT q.qid, v.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+                FROM qq q CROSS JOIN ep JOIN bb v ON v.bid = ep.ebid),
+      ${sqlBeamRounds(3, 10)}
+      SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk,
+             bid, dist
+      FROM beam3
+      ORDER BY qid, rnk
+    """))
 
   // ---- Product quantization (operators.Pq) ----
 
@@ -93,9 +159,31 @@ object VectorQs3 {
       (cents, codes)
     }
 
+  /** Per-subspace quantizer CTE chains + the (sub, vec_id, cid) code
+    * table and (sub, cid, cv) codebook union — the SqlIvf unroll run
+    * once per PQ subspace over its slice of the embedding. */
+  private lazy val sqlPqCtes: String = {
+    val dsub = 64 / PqM
+    val chains = (0 until PqM).map { sub =>
+      SqlIvf.ctes("vec_id % 50 <> 0", PqKsub, PqIters, s"p$sub",
+        vexpr = s"(embedding::DOUBLE[])[${sub * dsub + 1}:${sub * dsub + dsub}]")
+    }.mkString(",\n      ")
+    val codes = (0 until PqM)
+      .map(sub => s"SELECT $sub AS sub, vec_id, cid FROM p${sub}assign")
+      .mkString(" UNION ALL ")
+    val cents = (0 until PqM)
+      .map(sub => s"SELECT $sub AS sub, cid, cv FROM p${sub}cents")
+      .mkString(" UNION ALL ")
+    s"""$chains,
+      pqcodes AS ($codes),
+      pqcents AS ($cents)"""
+  }
+
   /** PQ codebook + code-assignment stats: one row per (subspace,
     * centroid) with its population and centroid norm — the build
-    * artifact summary. Rows-only (iterative k-means upstream). */
+    * artifact summary. Oracle'd (round 3): the per-subspace k-means
+    * unrolls exactly like IVF (SqlIvf), so codes and codebooks are
+    * value-checked — and the persisted PQ artifact staleness-guarded. */
   val pqBuild = Q(
     "pq_build",
     (s, dir) => {
@@ -110,7 +198,14 @@ object VectorQs3 {
           coalesce(col("n_vecs"), lit(0L)).as("n_vecs"), col("centroid_norm"))
         .orderBy(col("sub"), col("cid"))
     },
-    None)
+    Some(s"""
+      WITH $sqlPqCtes,
+      nv AS (SELECT sub, cid, COUNT(*) AS n_vecs FROM pqcodes GROUP BY sub, cid)
+      SELECT c.sub, c.cid, COALESCE(nv.n_vecs, 0) AS n_vecs,
+             sqrt(${Vec.sqlNorm2("c.cv")}) AS centroid_norm
+      FROM pqcents c LEFT JOIN nv ON nv.sub = c.sub AND nv.cid = c.cid
+      ORDER BY c.sub, c.cid
+    """))
 
   /** ADC candidate search over the 8-byte codes (top-50) + exact L2
     * rerank to top-10 — the compressed-domain scan never touches the
@@ -132,7 +227,34 @@ object VectorQs3 {
       graft.operators.TopK.perGroup(rer, "qid", "bid", "dist", 10, asc = true)
         .orderBy(col("qid"), col("rnk"))
     },
-    None)
+    // ADC mirror: per (query, vector) the asymmetric distance is the
+    // ordered subspace fold Σ_s ||q_s − cent(s, code_s)||² (init 0.0,
+    // sub ascending — the kernel's accumulation order), then the same
+    // top-50 → exact-rerank top-10
+    Some(s"""
+      WITH $sqlPqCtes,
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      d2s AS (SELECT q.qid, k.vec_id AS bid, k.sub,
+                     ${Vec.sqlL2sq(s"list_slice(q.qv, k.sub * ${64 / PqM} + 1, k.sub * ${64 / PqM} + ${64 / PqM})", "c.cv")} AS d2
+              FROM pqcodes k
+              JOIN pqcents c ON c.sub = k.sub AND c.cid = k.cid
+              CROSS JOIN q),
+      adc AS (SELECT qid, bid,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY sub)),
+                       (x, y) -> x + y) AS adist
+              FROM d2s GROUP BY qid, bid),
+      t50 AS (SELECT qid, bid FROM (
+                SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rn
+                FROM adc) WHERE rn <= 50),
+      bb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
+      rer AS (SELECT t.qid, t.bid, sqrt(${Vec.sqlL2sq("q.qv", "b.bv")}) AS dist
+              FROM t50 t JOIN q ON q.qid = t.qid JOIN bb b ON b.bid = t.bid)
+      SELECT qid, rnk, bid, dist FROM (
+        SELECT qid, bid, dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk
+        FROM rer) WHERE rnk <= 10
+      ORDER BY qid, rnk
+    """))
 
   val qs: Seq[Q] = Seq(ivfBuild, ivfSearch, graphBeamSearch, pqBuild, pqSearch)
 }

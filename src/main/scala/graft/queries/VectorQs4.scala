@@ -237,7 +237,34 @@ object VectorQs4 {
         .select(col("qid"), col("n_probed"), col("rnk"), col("bid"), col("dist"))
         .orderBy(col("qid"), col("rnk"))
     },
-    None)
+    // oracle re-derives the sweep quantizer (SqlIvf unroll, proven
+    // bit-identical) and applies the same adaptive rule — so the
+    // adaptive routing, probe counts, and rerank are all value-checked
+    Some(s"""
+      WITH ${SqlIvf.ctes("vec_id % 50 <> 0", 16, 2, "s")},
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      rk AS (SELECT qid, cid, d2,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+             FROM (SELECT q.qid, c.cid, ${Vec.sqlL2sq("q.qv", "c.cv")} AS d2
+                   FROM q CROSS JOIN scents c)),
+      rk4 AS (SELECT qid, cid, d2, rn FROM rk WHERE rn <= $AdaptMaxProbe),
+      dmin AS (SELECT qid, d2 AS d2min FROM rk4 WHERE rn = 1),
+      pr AS (SELECT rk4.qid, rk4.cid
+             FROM rk4 JOIN dmin ON dmin.qid = rk4.qid
+             WHERE rk4.rn = 1 OR rk4.d2 <= CAST($AdaptAlpha AS DOUBLE) * dmin.d2min),
+      np AS (SELECT qid, COUNT(*) AS n_probed FROM pr GROUP BY qid),
+      cand AS (SELECT q.qid, e.vec_id AS bid, sqrt(${Vec.sqlL2sq("q.qv", "e.v")}) AS dist
+               FROM pr JOIN sassign a ON a.cid = pr.cid
+               JOIN se e ON e.vec_id = a.vec_id
+               JOIN q ON q.qid = pr.qid),
+      r AS (SELECT qid, bid, dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk
+            FROM cand)
+      SELECT r.qid, np.n_probed, r.rnk, r.bid, r.dist
+      FROM r JOIN np ON np.qid = r.qid
+      WHERE r.rnk <= $AdaptTopK
+      ORDER BY r.qid, r.rnk
+    """))
 
   val qs: Seq[Q] = Seq(simhashMultiprobe, knnDescent, ivfSearchAdaptive)
 }
