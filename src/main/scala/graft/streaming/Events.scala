@@ -69,6 +69,36 @@ object Events {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("norm_md5")
 
+  /** Streaming trending top-k: per tumbling window, the k heaviest
+    * event types by count — the "trending items" pattern (windowed
+    * counts are the streaming agg; the per-window top-k runs as a
+    * batch rank on each emitted window, so no unbounded ranking state
+    * lives in the stream): foreachBatch ranks with a PARTITIONED
+    * window over the micro-batch's (window, type) counts — groups of
+    * ~|event types| rows, ties broken by type name.
+    *
+    * Scale: state = one count per (window, type) inside the watermark;
+    * the rank touches only each micro-batch's emitted windows. */
+  def trendingTopK(stream: DataFrame, k: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hour")).orderBy(col("n").desc, col("event_type"))
+        sink(batch
+          .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k))
+      }
+      .start()
+
   /** Gap-based sessions (30 min inactivity) per user. */
   def sessions(stream: DataFrame): DataFrame =
     stream

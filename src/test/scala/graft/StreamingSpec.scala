@@ -31,6 +31,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("trending top-k per window ranks the heaviest event types") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "value", "user_id")
+    val out = new java.util.concurrent.atomic.AtomicReference[Seq[(String, String, Long, Int)]](Seq.empty)
+    val q = graft.streaming.Events.trendingTopK(df, k = 2) { ranked =>
+      out.set(ranked.select(col("hour"), col("event_type"), col("n"), col("rnk"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))))
+    }
+    try {
+      input.addData(
+        (ts(5), "click", 1.0, 1L), (ts(10), "click", 1.0, 2L), (ts(15), "view", 1.0, 1L),
+        (ts(20), "view", 1.0, 2L), (ts(25), "view", 1.0, 3L), (ts(30), "error", 1.0, 1L),
+        (ts(65), "signup", 1.0, 1L))
+      q.processAllAvailable()
+      val rows = out.get().toSet
+      // hour 0: view(3) then click(2); error(1) cut by k=2. hour 1: signup only.
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "view", 3L, 1),
+        ("2024-01-01 00:00:00", "click", 2L, 2),
+        ("2024-01-01 01:00:00", "signup", 1L, 1)))
+    } finally q.stop()
+  }
+
   test("session windows close on 30-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
