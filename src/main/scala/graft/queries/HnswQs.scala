@@ -185,9 +185,11 @@ object HnswQs {
     * README_RoarGraph.md:56-112 / benchmark_hnsw_vs_roargraph.py):
     * per sweep point (method, param) emit recall@10 vs exact L2,
     * avg_visited, hops, wall_ms, qps — the reference CSV's columns.
-    * Methods: IVF (param = nprobe ∈ {1,2,4}, hops = 0) and beam search
-    * over the PERSISTED projection graph (param = rounds ∈ {1,2,3},
-    * hops = rounds) — search-only, the index loads from ProjIndex.
+    * Methods: IVF (param = nprobe ∈ {1,2,4}, hops = 0), adaptive
+    * nprobe (param = α×100, the ivf_search_adaptive rule over the same
+    * scored candidates), and beam search over the PERSISTED projection
+    * graph (param = rounds ∈ {1,2,3}, hops = rounds) — search-only,
+    * the index loads from ProjIndex.
     * wall_ms/qps time the search actions on the driver, so they vary
     * run to run (the one nondeterministic output in the catalog —
     * inherent to reporting latency; every other column is exact). */
@@ -204,17 +206,19 @@ object HnswQs {
         .localCheckpoint()
       val nGt = gt.count().toDouble
       val nQ = q2.count().toDouble
-      // score candidates ONCE with the cell's probe rank attached, then
-      // each nprobe sweep point is a filter + top-k over the same rows
+      // score candidates ONCE with the cell's probe rank AND cell id
+      // attached, then each sweep point (fixed nprobe, adaptive) is a
+      // filter + top-k over the same scored rows
       val maxProbe = 4
-      val probed = TopK.perGroup(
+      val ranked = TopK.perGroup(
         q2.crossJoin(broadcast(cents))
           .select(col("qid").as("g"), col("cid"),
             graft.functions.Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
         "g", "cid", "d2", maxProbe, asc = true)
-        .select(col("g").as("qid"), col("cid"), col("rnk").as("cell_rnk"))
-      val cand = base.join(probed.join(q2, Seq("qid")), Seq("cid"))
-        .select(col("qid"), col("vec_id").as("bid"), col("cell_rnk"),
+        .select(col("g").as("qid"), col("cid"), col("rnk").as("cell_rnk"), col("d2"))
+        .localCheckpoint()
+      val cand = base.join(ranked.join(q2, Seq("qid")), Seq("cid"))
+        .select(col("qid"), col("cid"), col("vec_id").as("bid"), col("cell_rnk"),
           graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
         .localCheckpoint()
       val ivfRows = Seq(1, 2, 4).map { np =>
@@ -228,6 +232,24 @@ object HnswQs {
         // avg_visited column (README_RoarGraph.md:56)
         val visited = probedCand.count() / nQ
         ("ivf", np, hits / nGt, visited, 0, wallMs, nQ / (wallMs / 1000.0))
+      }
+      // adaptive point (ivf_search_adaptive's rule over the same scored
+      // candidates): param = α×100
+      val adaptRows = Seq(1.08).map { alpha =>
+        val t0 = System.nanoTime()
+        val d2min = ranked.filter(col("cell_rnk") === 1)
+          .select(col("qid"), col("d2").as("d2min"))
+        val cells = ranked.join(d2min, Seq("qid"))
+          .filter(col("cell_rnk") === 1 || col("d2") <= lit(alpha) * col("d2min"))
+          .select(col("qid"), col("cid"))
+        val probedCand = cand.join(cells, Seq("qid", "cid"))
+        val top = TopK.perGroup(probedCand, "qid", "bid", "dist", 10, asc = true)
+          .select(col("qid"), col("bid")).localCheckpoint()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val hits = top.join(gt, Seq("qid", "bid")).count()
+        val visited = probedCand.count() / nQ
+        ("adaptive", (alpha * 100).round.toInt, hits / nGt, visited, 0, wallMs,
+          nQ / (wallMs / 1000.0))
       }
       val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
           VectorQs2.roarProjectionGraph.fn(s, dir)
@@ -248,7 +270,7 @@ object HnswQs {
         val hits = top.join(gt, Seq("qid", "bid")).count()
         ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs, nQ / (wallMs / 1000.0))
       }
-      (ivfRows ++ beamRows)
+      (ivfRows ++ adaptRows ++ beamRows)
         .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms", "qps")
         .orderBy(col("method"), col("param"))
     },
