@@ -73,12 +73,17 @@ object Events {
     * event types by count — the "trending items" pattern (windowed
     * counts are the streaming agg; the per-window top-k runs as a
     * batch rank on each emitted window, so no unbounded ranking state
-    * lives in the stream): foreachBatch ranks with a PARTITIONED
-    * window over the micro-batch's (window, type) counts — groups of
-    * ~|event types| rows, ties broken by type name.
+    * lives in the stream): APPEND mode emits each window exactly once,
+    * with its final counts, when the watermark passes its end — then
+    * foreachBatch ranks with a PARTITIONED window over those finalized
+    * (window, type) counts — groups of ~|event types| rows, ties
+    * broken by type name. (Complete mode would keep every window ever
+    * seen in the state store and re-rank all of history each batch;
+    * Update mode would rank a partial type subset per batch.)
     *
-    * Scale: state = one count per (window, type) inside the watermark;
-    * the rank touches only each micro-batch's emitted windows. */
+    * Scale: state = one count per (window, type) inside the watermark,
+    * evicted at finalization; the rank touches only each micro-batch's
+    * newly finalized windows. */
   def trendingTopK(stream: DataFrame, k: Int)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream
@@ -87,7 +92,7 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
       .writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("hour")).orderBy(col("n").desc, col("event_type"))
