@@ -62,14 +62,21 @@ object Bench {
       val min = if (ok) times.min else -1.0
       (name, median, min, ok)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // line containing "metric" from it (BENCH_r03/r04 both recorded
+    // parsed:null because the full-precision line + a second queries_min
+    // map pushed past that window). So: 3-decimal values, min map on its
+    // own non-metric line BEFORE the metric line, metric line last.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+    val qsMin = results.map { case (k, _, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""bench-min-of-$reps: $qsMin""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,7 +26,15 @@ object Verify {
     val out = new java.io.File(outDir)
     if (out.exists()) rm(out)
     out.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only narrowing: SPARK_GRAFT_ONLY=q1,q2 dumps just those
+    // queries (unset in the driver, which always runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -77,6 +77,47 @@ object BeamSearch {
     runImpl(edges, queries, base, seeds, ef, maxRounds,
       countVisited = true, keepStages = true)._3
 
+  /** Search-path trace (reference search_steps_to_target /
+    * _search_layer_trace_until_target_with_phases,
+    * hnsw_cosine_status_high.py:524,737): one search, returning
+    * (a) the beam snapshot after every round — element r is the top-ef
+    * beam as of round r, element 0 being the scored seeds — and
+    * (b) the per-query visited ledger (qid, bid, fr) where fr is the
+    * FIRST round each candidate was scored (0 = seed). Both are
+    * deterministic (no clocks, no counts), so trace diagnostics built
+    * on them are oracle-able, unlike the timed runStaged. */
+  def runTrace(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      seeds: DataFrame,
+      ef: Int,
+      maxRounds: Int): (Seq[DataFrame], DataFrame) = {
+    val scoreOf: DataFrame => DataFrame = cand =>
+      cand.join(base, Seq("bid"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
+    val seedSet = seeds.select(col("qid"), col("bid"))
+    var beam = scoreOf(seedSet).localCheckpoint()
+    val beams = Seq.newBuilder[DataFrame]
+    beams += beam
+    var cand = seedSet.withColumn("fr", lit(0))
+    for (r <- 1 to maxRounds) {
+      val frontier = beam.select(col("qid"), col("bid").as("src"))
+      val expanded = frontier.join(edges, Seq("src"))
+        .select(col("qid"), col("dst").as("bid"))
+        .distinct()
+      cand = cand.union(expanded.withColumn("fr", lit(r)))
+      beam = TopK.perGroup(beam.union(scoreOf(expanded)), "qid", "bid", "dist", ef, asc = true)
+        .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
+      beams += beam
+    }
+    // a node revisited in a later round keeps its first-scored round
+    val candFirst = cand.groupBy(col("qid"), col("bid"))
+      .agg(min(col("fr")).as("fr")).localCheckpoint()
+    (beams.result(), candFirst)
+  }
+
   private def runImpl(
       edges: DataFrame,
       queries: DataFrame,
