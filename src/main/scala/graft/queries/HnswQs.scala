@@ -246,7 +246,7 @@ object HnswQs {
       // score candidates ONCE with the cell's probe rank AND cell id
       // attached, then each sweep point (fixed nprobe, adaptive) is a
       // filter + top-k over the same scored rows
-      val maxProbe = 4
+      val maxProbe = 12
       val ranked = TopK.perGroup(
         q2.crossJoin(broadcast(cents))
           .select(col("qid").as("g"), col("cid"),
@@ -258,7 +258,7 @@ object HnswQs {
         .select(col("qid"), col("cid"), col("vec_id").as("bid"), col("cell_rnk"),
           graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
         .localCheckpoint()
-      val ivfRows = Seq(1, 2, 4).map { np =>
+      val ivfRows = Seq(1, 2, 4, 8, 12).map { np =>
         val t0 = System.nanoTime()
         val probedCand = cand.filter(col("cell_rnk") <= np)
         val top = TopK.perGroup(probedCand, "qid", "bid", "dist", 10, asc = true)
@@ -307,7 +307,52 @@ object HnswQs {
         val hits = top.join(gt, Seq("qid", "bid")).count()
         ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs, nQ / (wallMs / 1000.0))
       }
-      (ivfRows ++ adaptRows ++ beamRows)
+      // entry-point-count sweep (plot_entry_points_comparison.py /
+      // hnsw_with_bridges_optimized.py:137-274): same graph, ef and
+      // rounds as the single-entry beam rows; entry set = the default
+      // max-degree hub plus the query's (n-1) nearest anchor nodes
+      // (graph_multi_entry_search's machinery) — param = n_entries, so
+      // n=1 IS the single-entry baseline and the delta isolates what
+      // additional entries buy at equal beam budget
+      val (cents8, _) = anchorIvf(s, dir)
+      val anchorNodes = BruteForce.topk(
+        baseBv,
+        cents8.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+        "l2", 1)
+        .select(col("bid")).distinct()
+      val anchorRanked = TopK.perGroup(
+        q2.crossJoin(broadcast(anchorNodes.join(baseBv, Seq("bid"))))
+          .select(col("qid"), col("bid"), graft.functions.Vec.l2Fast(col("qv"), col("bv")).as("d")),
+        "qid", "bid", "d", 2, asc = true)
+        .select(col("qid"), col("bid"), col("rnk")).localCheckpoint()
+      val multiRows = Seq(1, 2, 3).map { n =>
+        val t0 = System.nanoTime()
+        val seedsN = seeds.union(
+          anchorRanked.filter(col("rnk") <= n - 1).select(col("qid"), col("bid")))
+        val (res, visitedTotal) =
+          BeamSearch.runFromSeedsCounted(edges, q2, baseBv, seedsN, ef = 10, rounds = 3)
+        val top = res.select(col("qid"), col("bid")).localCheckpoint()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val hits = top.join(gt, Seq("qid", "bid")).count()
+        ("multi", n, hits / nGt, visitedTotal / nQ, 3, wallMs, nQ / (wallMs / 1000.0))
+      }
+      // high-recall operating point (reference runs at 0.69-0.99
+      // recall@10, README_RoarGraph.md:56-112): bridge-augmented graph
+      // + 3 anchor entries + a wide beam — param = ef
+      val wideRows = Seq(32).map { wideEf =>
+        val t0 = System.nanoTime()
+        val bridged = edges.union(
+          bridgeEdges.fn(s, dir).select(col("src"), col("dst"))).localCheckpoint()
+        val seeds3 = seeds.union(anchorRanked.select(col("qid"), col("bid")))
+        val (res, visitedTotal) =
+          BeamSearch.runFromSeedsCounted(bridged, q2, baseBv, seeds3, ef = wideEf, rounds = 5)
+        val top = TopK.perGroup(res, "qid", "bid", "dist", 10, asc = true)
+          .select(col("qid"), col("bid")).localCheckpoint()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val hits = top.join(gt, Seq("qid", "bid")).count()
+        ("wide", wideEf, hits / nGt, visitedTotal / nQ, 5, wallMs, nQ / (wallMs / 1000.0))
+      }
+      (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows)
         .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms", "qps")
         .orderBy(col("method"), col("param"))
     },
