@@ -7,7 +7,7 @@ object Catalog {
     queries.Relational.qs ++ queries.Relational2.qs ++ queries.Relational3.qs ++
       queries.VectorQs.qs ++
       queries.VectorQs2.qs ++ queries.VectorQs3.qs ++ queries.VectorQs4.qs ++
-      queries.HnswQs.qs ++ queries.HnswQs2.qs ++
+      queries.HnswQs.qs ++ queries.HnswQs2.qs ++ queries.HnswQs3.qs ++
       queries.IncrementalQs.qs ++
       queries.TextQs.qs ++ queries.TextQs2.qs ++ queries.DedupQs.qs ++
       queries.MultimodalQs.qs
