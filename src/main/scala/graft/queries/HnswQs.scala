@@ -589,6 +589,31 @@ object HnswQs {
         .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
     }
 
+  /** The rich-build CTE chain (ends at `rer`(src, dst, w, erk)) —
+    * shared by roar_rich_graph's oracle and the routed-search oracle
+    * (HnswQs3), which also staleness-guards the persisted artifact. */
+  private[queries] val sqlRichCtes: String = s"""
+      rq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      rb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
+      rsc AS (SELECT qid, bid, sqrt(${Vec.sqlL2sq("qv", "bv")}) AS dist FROM rb CROSS JOIN rq),
+      rrr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, bid) AS INT) AS rnk
+             FROM rsc),
+      rtopk AS (SELECT qid, bid, rnk FROM rrr WHERE rnk <= $RichK),
+      rmem AS MATERIALIZED (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM rtopk t JOIN rb e ON e.bid = t.bid),
+      rpr AS (SELECT m1.qid, m1.rnk AS r1, m1.bid AS tbid, m2.bid AS cbid,
+                    sqrt(${Vec.sqlL2sq("m1.v", "m2.v")}) AS d
+             FROM rmem m1 JOIN rmem m2 ON m1.qid = m2.qid AND m1.rnk <> m2.rnk),
+      rsel AS (SELECT qid, r1, tbid, cbid, d FROM (
+                SELECT rpr.*, ROW_NUMBER() OVER (PARTITION BY qid, r1 ORDER BY d, cbid) AS mrn
+                FROM rpr) WHERE mrn <= $RichM),
+      rund AS (SELECT tbid AS src, cbid AS dst, d FROM rsel
+              UNION ALL
+              SELECT cbid AS src, tbid AS dst, d FROM rsel),
+      rag AS (SELECT src, dst, MIN(d) AS w FROM rund GROUP BY src, dst),
+      rer AS MATERIALIZED (SELECT src, dst, w,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY w, dst) AS INT) AS erk
+             FROM rag)"""
+
   /** Catalog surface of the rich build — loads the artifact (building
     * on a miss) so repeat runs time a parquet read, exactly like
     * bridge_edges; fully oracle-able (no folds, no iteration). */
@@ -596,27 +621,8 @@ object HnswQs {
     "roar_rich_graph",
     (s, dir) => richGraph(s, dir).orderBy(col("src"), col("erk")),
     Some(s"""
-      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-      b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
-      sc AS (SELECT qid, bid, sqrt(${Vec.sqlL2sq("qv", "bv")}) AS dist FROM b CROSS JOIN q),
-      rr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, bid) AS INT) AS rnk
-             FROM sc),
-      topk AS (SELECT qid, bid, rnk FROM rr WHERE rnk <= $RichK),
-      mem AS (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM topk t JOIN b e ON e.bid = t.bid),
-      pr AS (SELECT m1.qid, m1.rnk AS r1, m1.bid AS tbid, m2.bid AS cbid,
-                    sqrt(${Vec.sqlL2sq("m1.v", "m2.v")}) AS d
-             FROM mem m1 JOIN mem m2 ON m1.qid = m2.qid AND m1.rnk <> m2.rnk),
-      sel AS (SELECT qid, r1, tbid, cbid, d FROM (
-                SELECT pr.*, ROW_NUMBER() OVER (PARTITION BY qid, r1 ORDER BY d, cbid) AS mrn
-                FROM pr) WHERE mrn <= $RichM),
-      und AS (SELECT tbid AS src, cbid AS dst, d FROM sel
-              UNION ALL
-              SELECT cbid AS src, tbid AS dst, d FROM sel),
-      ag AS (SELECT src, dst, MIN(d) AS w FROM und GROUP BY src, dst),
-      er AS (SELECT src, dst, w,
-                    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY w, dst) AS INT) AS erk
-             FROM ag)
-      SELECT src, erk, dst, w FROM er WHERE erk <= $RichDeg
+      WITH $sqlRichCtes
+      SELECT src, erk, dst, w FROM rer WHERE erk <= $RichDeg
       ORDER BY src, erk
     """))
 

@@ -248,5 +248,107 @@ object HnswQs3 {
              MAX(l0_steps) AS max_l0_steps
       FROM trace""")))
 
-  val qs: Seq[Q] = Seq(hnswPhaseTrace, hnswTraceStats)
+  // ---- quantizer-routed graph search (the 1M-proven configuration) ----
+
+  private val RoutedDeg = 32
+  private val RoutedEf = 16
+  private val RoutedRounds = 5
+  private val RoutedEntries = 3
+
+  /** Beam rounds over `proj` seeded by rbeam0 — MATERIALIZED like the
+    * phase trace's (5 rounds × multi-reference would re-inline the
+    * whole rich-graph chain exponentially otherwise). */
+  private def sqlRoutedRounds(rounds: Int, ef: Int): String =
+    (1 to rounds).map { r =>
+      s"""rex$r AS MATERIALIZED (SELECT DISTINCT b.qid, e.dst AS bid
+             FROM rbeam${r - 1} b JOIN proj e ON e.src = b.bid),
+      rrs$r AS (SELECT x.qid, x.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+               FROM rex$r x JOIN qq q ON q.qid = x.qid JOIN bb v ON v.bid = x.bid),
+      rrun$r AS (SELECT DISTINCT qid, bid, dist FROM
+                 (SELECT qid, bid, dist FROM rbeam${r - 1}
+                  UNION ALL SELECT qid, bid, dist FROM rrs$r)),
+      rbeam$r AS MATERIALIZED (SELECT qid, bid, dist FROM (
+                   SELECT qid, bid, dist,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rn
+                   FROM rrun$r) WHERE rn <= $ef)"""
+    }.mkString(",\n      ")
+
+  /** Quantizer-routed wide graph search — the configuration the 1M
+    * scale run proved out (docs/scale_run.md: recall 0.985 @ 0.16% of
+    * the base visited, vs 0.447 from a single far hub): entries = the
+    * max-degree hub PLUS the query's 3 nearest anchor nodes, where
+    * anchors are the nearest GRAPH MEMBER to each cell of the
+    * persisted 16-cell quantizer (an anchor outside the graph scores
+    * but never expands — membership is load-bearing). Wide beam
+    * (ef=16, 5 rounds) over the rich graph's best-32 edges, top-10
+    * emitted. All index artifacts load persisted; fully deterministic,
+    * so unlike the timed sweep this operating point is oracle-able end
+    * to end (rich chain + SqlIvf quantizer + unrolled beam). */
+  val graphRoutedSearch = Q(
+    "graph_routed_search",
+    (s, dir) => {
+      val edges = HnswQs.richGraph(s, dir).filter(col("erk") <= RoutedDeg)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val emb = Tables.t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("src")).head().getLong(0)
+      val members = edges.select(col("src")).distinct()
+      val memberBase = base.join(members, col("bid") === col("src"), "left_semi")
+      val (cents, _) = HnswQs.sweepIvf(s, dir)
+      val anchors = BruteForce.topk(
+        memberBase,
+        cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+        "l2", 1)
+        .select(col("bid")).distinct()
+      val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
+        .union(graft.operators.TopK.perGroup(
+          queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
+            .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
+          "qid", "bid", "d", RoutedEntries, asc = true)
+          .select(col("qid"), col("bid")))
+        .distinct()
+      BeamSearch.runFromSeeds(edges, queries, base, seeds, RoutedEf, RoutedRounds)
+        .filter(col("rnk") <= 10)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${HnswQs.sqlRichCtes},
+      ${SqlIvf.ctes("vec_id % 50 <> 0", 16, 2, "s")},
+      proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= $RoutedDeg),
+      qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      hub AS (SELECT src AS ebid FROM (
+                SELECT src, COUNT(*) AS d FROM proj GROUP BY src)
+              ORDER BY d DESC, src LIMIT 1),
+      mem0 AS (SELECT DISTINCT src FROM proj),
+      mb AS (SELECT b.bid, b.v FROM bb b JOIN mem0 m ON m.src = b.bid),
+      cfq AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM scents),
+      anch AS (SELECT DISTINCT bid FROM (
+                 SELECT c.cid, b.bid,
+                        ROW_NUMBER() OVER (PARTITION BY c.cid
+                          ORDER BY sqrt(${Vec.sqlL2sq("c.cvf", "b.v")}), b.bid) AS rn
+                 FROM cfq c CROSS JOIN mb b) WHERE rn = 1),
+      sd3 AS (SELECT qid, bid FROM (
+                SELECT q.qid, a.bid,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid
+                         ORDER BY sqrt(${Vec.sqlL2sq("q.qv", "b.v")}), a.bid) AS rn
+                FROM qq q CROSS JOIN anch a JOIN bb b ON b.bid = a.bid) WHERE rn <= $RoutedEntries),
+      seeds AS (SELECT DISTINCT qid, bid FROM (
+                  SELECT qid, ebid AS bid FROM qq CROSS JOIN hub
+                  UNION ALL SELECT qid, bid FROM sd3)),
+      rbeam0 AS MATERIALIZED (SELECT s.qid, s.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+                FROM seeds s JOIN qq q ON q.qid = s.qid JOIN bb v ON v.bid = s.bid),
+      ${sqlRoutedRounds(RoutedRounds, RoutedEf)}
+      SELECT qid, rnk, bid, dist FROM (
+        SELECT qid, bid, dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk
+        FROM rbeam$RoutedRounds) WHERE rnk <= 10
+      ORDER BY qid, rnk
+    """))
+
+  val qs: Seq[Q] = Seq(hnswPhaseTrace, hnswTraceStats, graphRoutedSearch)
 }
