@@ -47,4 +47,25 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     assert(gt.join(nodes, col("bid") === col("src"), "left_anti").count() === 0,
       "an exact top-10 target is missing from the rich graph")
   }
+
+  test("graph_routed_search: recall >= 0.9 vs exact gt, dense ranks, sorted dists") {
+    val res = queries.HnswQs3.graphRoutedSearch.fn(spark, sf).localCheckpoint()
+    // top-10 contract: ranks dense 1..10 per query, dist ascending with rank
+    val perQ = res.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"), min(col("rnk")).as("minr"))
+    assert(perQ.filter(col("n") =!= 10 || col("maxr") =!= 10 || col("minr") =!= 1).count() === 0,
+      "ranks are not a dense 1..10 per query")
+    val inversions = res.as("a").join(res.as("b"),
+      col("a.qid") === col("b.qid") && (col("a.rnk") === col("b.rnk") - 1))
+      .filter(col("a.dist") > col("b.dist")).count()
+    assert(inversions === 0, "dist is not ascending with rank")
+    // the routed entries + wide beam must hold the high-recall band the
+    // 1M run measured (docs/scale_run.md: 0.985 at 1M; 1.0 at sf0.01)
+    val gt = queries.VectorQs.gtTopk(spark, sf, "l2")
+      .select(col("qid"), col("bid"))
+    val hits = res.select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
+    val recall = hits.toDouble / gt.count()
+    info(f"routed-search recall@10 $recall%.3f")
+    assert(recall >= 0.9, s"routed-search recall $recall < 0.9")
+  }
 }
