@@ -125,6 +125,96 @@ case class WinnowFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** The SET the WinnowFingerprint counter summarizes: sorted distinct
+  * window-min fingerprints of a text column (char-8-grams → MD5 → min
+  * per 4-window → distinct, ascending). Same gram/window semantics and
+  * edge cases as WinnowFingerprint (no grams or fewer than 4 grams →
+  * empty array); the sort makes the array value deterministic.
+  * Feeds fingerprint_overlap, which explodes it — evaluate behind a
+  * cache/Project boundary (lesson 2/8). */
+case class WinnowFpSet(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Gram = 8
+  private val WinW = 4
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fp_set needs a string column, got $other")
+    }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: MessageDigest, bytes: Array[Byte], off: Int, len: Int): String = {
+    md.update(bytes, off, len)
+    val d = md.digest()
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) nChars += 1
+      i += 1
+    }
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = bytes.length
+
+    val nGrams = math.max(nChars - (Gram - 1), 0)
+    val nWin = math.max(nGrams - (WinW - 1), 0)
+    if (nWin == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String])
+
+    val md = MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](nGrams)
+    i = 0
+    while (i < nGrams) {
+      val off = starts(i)
+      hashes(i) = md5Hex(md, bytes, off, starts(i + Gram) - off)
+      i += 1
+    }
+    val distinct = new java.util.TreeSet[String]()
+    var j = 0
+    while (j < nWin) {
+      var m = hashes(j)
+      var k = j + 1
+      while (k < j + WinW) {
+        if (hashes(k).compareTo(m) < 0) m = hashes(k)
+        k += 1
+      }
+      distinct.add(m)
+      j += 1
+    }
+    val out = new Array[UTF8String](distinct.size)
+    val it = distinct.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct n-word shingles of a word array, first-occurrence order —
   * the tight-loop twin of TextFns.wordShingles (`array_distinct(
   * transform(sequence(...), i -> concat_ws(" ", w[i], ..., w[i+n-1])))`).
