@@ -1,7 +1,9 @@
 package graft.streaming
 
+import graft.functions.TextFns
 import graft.queries.TextQs
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The training-data filter pipeline as a STREAM: quality-gate +
@@ -19,4 +21,83 @@ object Docs {
       .withColumn("quality", TextQs.qualityScore(col("text")))
       .filter(col("quality") >= minQuality &&
         TextQs.sampleKeep(col("doc_id"), col("lang")))
+
+  // ---- streaming MinHash-LSH near-dup candidate mining ----
+
+  /** One doc's residence in one LSH bucket. */
+  case class BandRow(band: Int, k0: Long, k1: Long, k2: Long,
+      doc_id: Long, sig: Seq[Long])
+  case class BucketDoc(doc_id: Long, sig: Seq[Long])
+  case class BucketState(docs: List[BucketDoc])
+  case class CandPair(a: Long, b: Long, band: Int)
+
+  /** The batch dedup_minhash candidate miner as a STREAM: per doc the
+    * same 9 MinHash values (3-word shingles → 31-bit md5 hashes →
+    * (a·h+b) mod 2³¹−1 mins), grouped by (band, sig-triple) — the
+    * band key itself, minus the batch side's md5 shortening, which
+    * exists only to shrink a shuffle key — with per-bucket member
+    * lists in keyed state. A new arrival pairs against every earlier
+    * resident of its bucket; a pair colliding in several bands is
+    * emitted only from its LOWEST matching band (triple-compare on
+    * the sigs both sides already carry), so the emitted set equals
+    * the batch join+distinct set, incrementally.
+    *
+    * Scale contract: state per bucket is a capped member list (the
+    * batch 20k bucket ceiling, same deterministic first-by-doc_id
+    * keep); docs with no shingles (< 3 words) never band. Production
+    * would add an event-time timeout to bound retention — candidates
+    * then mean "near-dup within the retention window", which is the
+    * streaming dedup contract (dropDuplicatesWithinWatermark's form).
+    * The sig projection crosses an encoder boundary BEFORE banding:
+    * with no cache in a stream, CollapseProject would otherwise
+    * inline the whole shingle→md5→min chain into every band
+    * expression (the batch lesson, DedupQs.sigTable). */
+  def minhashCandidates(stream: DataFrame, bucketCap: Int = 20000): Dataset[CandPair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val nH = 9
+    val bands = 3
+    val aLit = array(TextFns.minhashCoef.take(nH).map(c => lit(c._1)): _*)
+    val bLit = array(TextFns.minhashCoef.take(nH).map(c => lit(c._2)): _*)
+    val hs = TextFns.shingleHashes(
+      TextFns.wordShingles(TextFns.words(col("text")), 3))
+    // hs appears ONCE inside the one sig expression: 9 mins in a
+    // single nested transform instead of 9 top-level columns
+    val sig = transform(sequence(lit(0), lit(nH - 1)), j =>
+      array_min(transform(col("hs"), h =>
+        (element_at(aLit, j + 1) * h + element_at(bLit, j + 1)) % lit(TextFns.MinhashP))))
+    val sigDs = stream.select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .as[(Long, Seq[Long])]
+    val banded = sigDs.flatMap { case (id, s) =>
+      (0 until bands).map(b => BandRow(b, s(3 * b), s(3 * b + 1), s(3 * b + 2), id, s))
+    }
+    banded
+      .groupByKey(r => (r.band, r.k0, r.k1, r.k2))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _, _, _), rows, state) =>
+          var members = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          // deterministic arrival order within the micro-batch
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!members.exists(_.doc_id == r.doc_id) && members.size < bucketCap) {
+              val rd = BucketDoc(r.doc_id, r.sig)
+              members.foreach { m =>
+                val (lo, hi) = if (m.doc_id < rd.doc_id) (m, rd) else (rd, m)
+                // lowest-matching-band suppression: an earlier band
+                // whose triple matches on both docs will emit this pair
+                val earlier = (0 until band).exists { b2 =>
+                  (0 until 3).forall(i => lo.sig(3 * b2 + i) == hi.sig(3 * b2 + i))
+                }
+                if (!earlier) out += CandPair(lo.doc_id, hi.doc_id, band)
+              }
+              members = members :+ rd
+            }
+          }
+          state.update(BucketState(members))
+          out.iterator
+      }
+  }
 }
