@@ -10,7 +10,7 @@ object Catalog {
       queries.HnswQs.qs ++ queries.HnswQs2.qs ++ queries.HnswQs3.qs ++
       queries.IncrementalQs.qs ++
       queries.TextQs.qs ++ queries.TextQs2.qs ++ queries.DedupQs.qs ++
-      queries.DedupQs2.qs ++ queries.MultimodalQs.qs
+      queries.DedupQs2.qs ++ queries.CurationQs.qs ++ queries.MultimodalQs.qs
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

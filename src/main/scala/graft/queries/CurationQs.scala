@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.functions.Vec
+import graft.operators.{Ivf, TopK}
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Family D continued: corpus-curation operators downstream of
+  * filtering/dedup — cluster-prototype sampling (the "pick
+  * representative examples per region of embedding space" step) and
+  * context-window packing (the concat-and-chunk step that turns a
+  * document stream into fixed-size training sequences).
+  *
+  * Scale design: sampling shuffles once on cell id with a bounded
+  * top-k pool per cell; packing is a per-shard running sum where the
+  * SHARD COUNT is the parallelism knob — real packing pipelines shard
+  * exactly this way because token offsets are sequential within a
+  * shard by construction. Nothing here is all-pairs or driver-side.
+  */
+object CurationQs {
+
+  private val SampleK = 16
+  private val SampleIters = 3
+  private val SamplePerCell = 4
+
+  /** Cluster-prototype sample: the SamplePerCell vectors nearest their
+    * own k-means centroid, per cell — a diversity-preserving subset
+    * (one small pool per region of the space, not the global densest
+    * blob). Same deterministic Lloyd build as dedup_semantic/ivf_build;
+    * ranking ties break by vec_id (determinism rule). */
+  val samplePerCluster = Q(
+    "sample_per_cluster",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val cents = Ivf.centroids(emb, SampleK, SampleIters)
+      val scored = Ivf.assign(emb, cents)
+        .join(broadcast(cents), Seq("cid"))
+        .select(col("cid"), col("vec_id"),
+          Vec.l2Fast(col("embedding"), col("cv")).as("dist"))
+      TopK.perGroup(scored, "cid", "vec_id", "dist", SamplePerCell, asc = true)
+        .select(col("cid"), col("rnk"), col("vec_id"), col("dist"))
+        .orderBy(col("cid"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${SqlIvf.ctes("true", SampleK, SampleIters, "sp")},
+      sc AS (SELECT a.cid, a.vec_id,
+                    sqrt(${Vec.sqlL2sq("e.v", "c.cv")}) AS dist
+             FROM spassign a
+             JOIN spe e ON e.vec_id = a.vec_id
+             JOIN spcents c ON c.cid = a.cid)
+      SELECT cid, rnk, vec_id, dist FROM (
+        SELECT cid, vec_id, dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS INT) AS rnk
+        FROM sc) WHERE rnk <= $SamplePerCell
+      ORDER BY cid, rnk
+    """))
+
+  private val CtxTokens = 256L
+  private val PackShards = 8L
+
+  /** Context-window packing (concat-and-chunk): documents concatenate
+    * in doc_id order within a shard and split into CtxTokens-sized
+    * windows; each doc reports the window its first token lands in and
+    * whether it straddles a boundary. Token counts use token_count's
+    * BPE-ish regex. All-integer math — hash-exact across engines. */
+  val packContexts = Q(
+    "pack_contexts",
+    (s, dir) => {
+      val n = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+      val shard = pmod(col("doc_id"), lit(PackShards))
+      val before = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, dir, "documents")
+        .select(shard.as("shard"), col("doc_id"), n.as("n_tok"))
+        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(before), lit(0L)))
+        .select(col("shard"), col("doc_id"), col("n_tok"), col("start_tok"),
+          expr(s"start_tok DIV $CtxTokens").as("ctx_id"),
+          (expr(s"(start_tok + n_tok - 1) DIV $CtxTokens") >
+            expr(s"start_tok DIV $CtxTokens")).as("crosses"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id % $PackShards AS shard, doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT shard, doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        FROM t)
+      SELECT shard, doc_id, n_tok, start_tok,
+             start_tok // $CtxTokens AS ctx_id,
+             ((start_tok + n_tok - 1) // $CtxTokens) > (start_tok // $CtxTokens) AS crosses
+      FROM c
+      ORDER BY doc_id
+    """))
+
+  val qs: Seq[Q] = Seq(samplePerCluster, packContexts)
+}
