@@ -54,6 +54,7 @@ object Bench {
     queries.HnswQs3.baseLayers(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.HnswQs3.phaseTrace(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.HnswQs3.routedAnchors(spark, sfDir).write.format("noop").mode("overwrite").save()
+    queries.CurationQs.allIvf(spark, sfDir)
     queries.HnswQs2.descentGraph(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.DedupQs.minhashPairs(spark, sfDir)
     spark.catalog.clearCache()

@@ -24,6 +24,18 @@ object CurationQs {
   private val SampleIters = 3
   private val SamplePerCell = 4
 
+  /** The all-corpus quantizer dedup_semantic and sample_per_cluster
+    * share — persisted build-once/load-many like every other index
+    * (the clustering is these operators' INPUT, not their work; the
+    * oracles re-derive it via SqlIvf, staleness-guarding the
+    * artifact). */
+  private[graft] def allIvf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.ProjIndex.ensureIvf(s, dir, "all", SampleK, SampleIters) {
+      val emb = Tables.t(s, dir, "embeddings")
+      val c = Ivf.centroids(emb, SampleK, SampleIters)
+      (c, Ivf.assign(emb, c))
+    }
+
   /** Cluster-prototype sample: the SamplePerCell vectors nearest their
     * own k-means centroid, per cell — a diversity-preserving subset
     * (one small pool per region of the space, not the global densest
@@ -32,9 +44,8 @@ object CurationQs {
   val samplePerCluster = Q(
     "sample_per_cluster",
     (s, dir) => {
-      val emb = Tables.t(s, dir, "embeddings")
-      val cents = Ivf.centroids(emb, SampleK, SampleIters)
-      val scored = Ivf.assign(emb, cents)
+      val (cents, assigned) = allIvf(s, dir)
+      val scored = assigned
         .join(broadcast(cents), Seq("cid"))
         .select(col("cid"), col("vec_id"),
           Vec.l2Fast(col("embedding"), col("cv")).as("dist"))

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.functions.Vec
-import graft.operators.Ivf
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
@@ -103,9 +102,10 @@ object DedupQs2 {
   val dedupSemantic = Q(
     "dedup_semantic",
     (s, dir) => {
-      val emb = Tables.t(s, dir, "embeddings")
-      val cents = Ivf.centroids(emb, SemK, SemIters)
-      val m = Ivf.assign(emb, cents)
+      // cells load from the shared persisted all-corpus quantizer —
+      // clustering is this operator's input index, not its work
+      val (_, assigned) = CurationQs.allIvf(s, dir)
+      val m = assigned
         .select(col("vec_id"), col("cid"), col("embedding"))
         .localCheckpoint()
       m.as("x").join(m.as("y"),
