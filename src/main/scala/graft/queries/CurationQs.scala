@@ -109,5 +109,41 @@ object CurationQs {
       ORDER BY doc_id
     """))
 
-  val qs: Seq[Q] = Seq(samplePerCluster, packContexts)
+  /** Domain-mixture reweighting: per `source`, doc/token counts, the
+    * corpus token share, and the sampling weight that would flatten
+    * the mixture to uniform-over-sources (weight = target share /
+    * actual share). The static single-pass form of domain
+    * reweighting — one groupBy, two scalar divisions per source, so
+    * the 100 TB cost is the token-count scan. */
+  val sourceMixture = Q(
+    "source_mixture",
+    (s, dir) => {
+      val n = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+      val per = Tables.t(s, dir, "documents")
+        .select(col("source"), n.as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .localCheckpoint() // total + share both read it (lesson 8)
+      val tot = per.agg(sum(col("n_tokens")).cast("long"), count(lit(1)).cast("long")).head()
+      val (total, nSrc) = (tot.getLong(0), tot.getLong(1))
+      per.select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / lit(total).cast("double")).as("token_share"),
+          (lit(total).cast("double") / (lit(nSrc) * col("n_tokens")).cast("double")).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_src FROM per)
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+             CAST(total AS DOUBLE) / CAST(n_src * n_tokens AS DOUBLE) AS weight
+      FROM per CROSS JOIN tot
+      ORDER BY source
+    """))
+
+  val qs: Seq[Q] = Seq(samplePerCluster, packContexts, sourceMixture)
 }

@@ -33,4 +33,16 @@ class CurationQsSpec extends AnyFunSuite with SharedSpark {
     assert(res.filter(col("crosses") =!=
       (expr("(start_tok + n_tok - 1) DIV 256") > col("ctx_id"))).count() === 0)
   }
+
+  test("source_mixture: shares sum to 1 and weights invert the shares") {
+    val res = queries.CurationQs.sourceMixture.fn(spark, sf).localCheckpoint()
+    val nSrc = res.count()
+    assert(nSrc > 1, "single-source corpus makes the mixture vacuous")
+    val shareSum = res.agg(sum(col("token_share"))).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-12)
+    // weight * share * n_src == 1 exactly up to float round-trip
+    val bad = res.filter(
+      abs(col("weight") * col("token_share") * lit(nSrc.toDouble) - 1.0) > lit(1e-12))
+    assert(bad.count() === 0, "a weight does not invert its token share")
+  }
 }
