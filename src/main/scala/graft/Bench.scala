@@ -7,20 +7,27 @@ object Bench {
     * parsed:null when anything pushed this line out of that window), so
     * the contract is: this line is the LAST thing printed, nothing
     * follows it, and it stays under ~1900 chars even at 75+ queries —
-    * per-query values at 2 decimals, no embedded min map (the load
-    * floor goes to stderr). BenchLineSpec pins the length budget
-    * against the real catalog. */
+    * per-query values at ADAPTIVE precision (2 decimals under 10 s,
+    * 1 under 100 s, none above — a slow catalog must shrink the line,
+    * not blow the window), no embedded min map (the load floor goes to
+    * stderr). BenchLineSpec pins the length budget against the real
+    * catalog. */
   def metricLine(
       results: Seq[(String, Double, Boolean)],
       reps: Int,
       sfDir: String): String = {
-    def f2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+    def fq(v: Double): String =
+      if (v < 0) "-1"
+      else if (v < 10) f"$v%.2f"
+      else if (v < 100) f"$v%.1f"
+      else f"$v%.0f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val sfTag = sfDir.split('/').last
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfTag"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -45,9 +45,10 @@ object CurationQs {
     "sample_per_cluster",
     (s, dir) => {
       val (cents, assigned) = allIvf(s, dir)
+      // cid back to BIGINT: partition-column inference narrows it on load
       val scored = assigned
         .join(broadcast(cents), Seq("cid"))
-        .select(col("cid"), col("vec_id"),
+        .select(col("cid").cast("long").as("cid"), col("vec_id"),
           Vec.l2Fast(col("embedding"), col("cv")).as("dist"))
       TopK.perGroup(scored, "cid", "vec_id", "dist", SamplePerCell, asc = true)
         .select(col("cid"), col("rnk"), col("vec_id"), col("dist"))

@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.functions.Vec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Streaming vector ingestion: a stream of (vec_id, embedding) rows is
   * routed to IVF cells by a stream-static broadcast join against the
@@ -34,5 +35,67 @@ object VectorIngest {
         array_min(transform(col("cs"), c =>
           struct(Vec.l2sqFast(col("embedding"), c.getField("cv")).as("d2"),
             c.getField("cid").as("cid")))).getField("cid").as("cid"))
+  }
+
+  // ---- online SemDeDup ----
+
+  case class CellVec(vec_id: Long, emb: Seq[Float])
+  case class CellState(members: List[CellVec])
+  case class SemDrop(cid: Long, drop_vid: Long, keep_vid: Long, cos: Double)
+
+  /** The batch dedup_semantic contract as a STREAM: arrivals route to
+    * their k-means cell (assignCells' stateless argmin against the
+    * persisted quantizer), and keyed cell state holds the residents
+    * (kept AND dropped — in SemDeDup a dropped vector still witnesses
+    * later drops, exactly like the batch pair join). A new arrival is
+    * emitted as a drop when some resident clears the cosine threshold;
+    * the witness is the smallest-id such resident. With ids arriving
+    * in ascending order this equals the batch operator row-for-row
+    * (the spec proves it); out of order, "resident" means "arrived
+    * earlier", which is the online-dedup contract. State per cell is
+    * a capped list — the cell-size knob is k, as in batch. The cosine
+    * is the VecCosine fold exactly (floats widened per element). */
+  def semanticDedupStream(
+      stream: DataFrame,
+      cents: DataFrame,
+      tau: Double,
+      cellCap: Int = 100000): Dataset[SemDrop] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    assignCells(stream, cents)
+      .select(col("cid").cast("long"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CellState, SemDrop](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cid, rows, state) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemDrop]
+          def cos(a: Seq[Float], b: Seq[Float]): Double = {
+            val n = math.min(a.length, b.length)
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < n) {
+              val x = a(i).toDouble; val y = b(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            dot / math.sqrt(na * nb)
+          }
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, emb) =>
+            if (!members.exists(_.vec_id == id) && members.size < cellCap) {
+              var keep = -1L
+              var keepCos = 0.0
+              members.foreach { m =>
+                if ((keep < 0 || m.vec_id < keep) && m.vec_id < id) {
+                  val c = cos(m.emb, emb)
+                  if (c >= tau) { keep = m.vec_id; keepCos = c }
+                }
+              }
+              if (keep >= 0) out += SemDrop(cid, id, keep, keepCos)
+              members = members :+ CellVec(id, emb)
+            }
+          }
+          state.update(CellState(members))
+          out.iterator
+      }
   }
 }

@@ -38,4 +38,39 @@ class VectorIngestSpec extends AnyFunSuite with SharedSpark {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("online SemDeDup equals batch dedup_semantic for in-order arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same quantizer the batch operator loads
+    val (cents, _) = queries.CurationQs.allIvf(spark, sf)
+    val batch = queries.DedupQs2.dedupSemantic.fn(spark, sf)
+      .select(col("cid").cast("long"), col("drop_vid"), col("keep_vid"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "no semantic dups at spec scale — spec is vacuous")
+
+    val all = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = streaming.VectorIngest.semanticDedupStream(
+        input.toDF().toDF("vec_id", "embedding"), cents, tau = 0.45)
+      .writeStream.format("memory").queryName("sem_out").outputMode("append").start()
+    try {
+      // ascending ids split across micro-batches: arrival order ==
+      // id order, so residency == "smaller id" and the streamed drops
+      // must match the batch pair semantics exactly
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sem_out")
+        .select(col("cid"), col("drop_vid"), col("keep_vid"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === batch,
+        "online drops differ from the batch SemDeDup output (ids fed in order)")
+    } finally q.stop()
+  }
 }
