@@ -68,5 +68,63 @@ object MultimodalQs {
       ORDER BY doc_id
     """))
 
-  val qs: Seq[Q] = Seq(mmManifest, mmFrames)
+  private val PhashMaxHamming = 4
+
+  /** Perceptual-hash near-dup pairs over the binary payloads — the
+    * image-dedup pass of a multimodal pipeline (identical payloads
+    * hash identically; near-identical ones differ in a few bits).
+    * Same banded shape as dedup_simhash: the 32-bit phash splits into
+    * 4 byte-bands, candidates collide on one equal band, and only
+    * candidates pay the exact Hamming verify (bit_count of xor ≤ 4).
+    * At scale the candidate join shuffles 4 tiny keys per asset and a
+    * per-band bucket cap guards degenerate hashes — never all-pairs.
+    * The stub phash is deterministic over the payload md5, so the
+    * whole chain is oracle-exact. */
+  val mmPhashDedup = Q(
+    "mm_phash_dedup",
+    (s, dir) => {
+      val man = Multimodal.extractFeatures(
+        Multimodal.manifest(Tables.t(s, dir, "documents")))
+      val ph = man.select(col("doc_id"),
+        conv(col("phash"), 16, 10).cast("long").as("ph")).localCheckpoint()
+      val bands = ph.select(col("doc_id"), col("ph"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("ph"), 8 * b).bitwiseAND(lit(255L))): _*))
+            .as(Seq("band", "bkey")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.ph").as("pa"), col("y.ph").as("pb"))
+        .distinct()
+      cand.select(col("a"), col("b"),
+          bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b0 AS (SELECT doc_id,
+              list_transform(range(1, 17),
+                i -> ('0x' || substr(h, CAST(2*i-1 AS INT), 2))::BIGINT) AS ub
+            FROM m),
+      p AS (SELECT doc_id,
+              list_reduce(
+                list_prepend(1::BIGINT,
+                  list_transform(ub, x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
+                (hh, bb) -> ((31 * hh + bb) % 4294967296 + 4294967296) % 4294967296) AS ph
+            FROM b0),
+      bands AS (SELECT doc_id, ph, u.b AS band, (ph >> (8 * u.b)) & 255 AS bkey
+                FROM (SELECT doc_id, ph, unnest(list_transform(range(0, 4), b -> {'b': b})) AS u
+                      FROM p)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT a, b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming
+      ORDER BY a, b
+    """))
+
+  val qs: Seq[Q] = Seq(mmManifest, mmFrames, mmPhashDedup)
 }

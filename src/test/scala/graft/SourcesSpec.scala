@@ -67,4 +67,26 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Int]("payload_len") == 16) // md5-derived stub payload
     assert(Set("jpeg", "png", "wav").contains(r.getAs[String]("codec")))
   }
+
+  test("roargraph index file roundtrip, including 0-degree gap nodes") {
+    import spark.implicits._
+    // node 2 has no edges; neighbor order matters (rnk)
+    val edges = Seq(
+      (0L, 0, 3L), (0L, 1, 1L),
+      (1L, 0, 0L),
+      (3L, 0, 0L), (3L, 1, 1L), (3L, 2, 2L))
+      .toDF("src", "rnk", "dst")
+    val path = java.nio.file.Files.createTempDirectory("roaridx").toString + "/g.index"
+    sources.RoarIndex.write(edges, numNodes = 4, path)
+    // header: metadata = edge count, then per-node degree-prefixed lists
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() == 6 && bb.getInt() == 4)
+    val got = sources.RoarIndex.read(spark, path)
+      .select(col("src"), col("rnk"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = edges.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(!got.exists(_._1 == 2L)) // the gap node reads back edgeless
+  }
 }
