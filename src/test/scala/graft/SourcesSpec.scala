@@ -89,4 +89,29 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(got === want)
     assert(!got.exists(_._1 == 2L)) // the gap node reads back edgeless
   }
+
+  test("the rich projection graph survives a RoarIndex export/import roundtrip") {
+    import org.apache.spark.sql.expressions.Window
+    val rich = queries.HnswQs.richGraph(spark, sf).filter(col("erk") <= 8)
+      .select(col("src"), (col("erk") - 1).as("rnk"), col("dst")).localCheckpoint()
+    // the format's node space is dense 0..n-1 (reference convention);
+    // densify over every id the graph touches — tiny at spec scale, so
+    // a global Window is fine here
+    val ids = rich.select(col("src").as("id"))
+      .union(rich.select(col("dst").as("id"))).distinct()
+    val idMap = ids.withColumn("nid",
+      (row_number().over(Window.orderBy(col("id"))) - 1).cast("long")).localCheckpoint()
+    val n = idMap.count().toInt
+    val dense = rich
+      .join(idMap.select(col("id").as("src"), col("nid").as("s")), Seq("src"))
+      .join(idMap.select(col("id").as("dst"), col("nid").as("d")), Seq("dst"))
+      .select(col("s").as("src"), col("rnk").cast("int").as("rnk"), col("d").as("dst"))
+    val path = java.nio.file.Files.createTempDirectory("roarexp").toString + "/rich.index"
+    sources.RoarIndex.write(dense, n, path)
+    val back = sources.RoarIndex.read(spark, path)
+      .select(col("src"), col("rnk"), col("dst"))
+    assert(back.count() === dense.count())
+    assert(back.join(dense, Seq("src", "rnk", "dst"), "left_anti").count() === 0,
+      "an imported edge does not exist in the exported graph")
+  }
 }
