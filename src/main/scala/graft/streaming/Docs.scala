@@ -31,6 +31,45 @@ object Docs {
   case class BucketState(docs: List[BucketDoc])
   case class CandPair(a: Long, b: Long, band: Int)
 
+  // ---- streaming context packing ----
+
+  case class PackState(startTok: Long)
+  case class PackedDoc(shard: Long, doc_id: Long, n_tok: Long,
+      start_tok: Long, ctx_id: Long, crosses: Boolean)
+
+  /** pack_contexts as a STREAM: per-shard keyed state holds the
+    * running token offset, so documents ingest continuously and each
+    * micro-batch extends the concat-and-chunk packing where the last
+    * one stopped — the natural shape for a pipeline that packs while
+    * it crawls. Token counts are the batch operator's exact regex.
+    * With ids arriving in order per shard, output equals batch
+    * pack_contexts row-for-row (spec-proven); state is ONE long per
+    * shard, the cheapest state store in the repo. */
+  def packStream(stream: DataFrame, ctxTokens: Long = 256L, shards: Long = 8L): Dataset[PackedDoc] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_tok"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state) =>
+          var off = state.getOption.map(_.startTok).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, n) =>
+            val start = off
+            off += n
+            PackedDoc(shard, id, n, start, start / ctxTokens,
+              n > 0 && (start + n - 1) / ctxTokens > start / ctxTokens)
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** The batch dedup_minhash candidate miner as a STREAM: per doc the
     * same 9 MinHash values (3-word shingles → 31-bit md5 hashes →
     * (a·h+b) mod 2³¹−1 mins), grouped by (band, sig-triple) — the

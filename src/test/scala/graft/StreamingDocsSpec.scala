@@ -36,4 +36,33 @@ class StreamingDocsSpec extends AnyFunSuite with SharedSpark {
       assert(streamed.nonEmpty && streamed.size < docs.size)
     } finally q.stop()
   }
+
+  test("streaming packer == batch pack_contexts for in-order arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = queries.CurationQs.packContexts.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSet
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = Docs.packStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      // ascending ids across THREE micro-batches: per-shard offsets
+      // must carry across batch boundaries for the totals to line up
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.foreach { part => input.addData(part.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("pack_out")
+        .select(col("shard"), col("doc_id"), col("n_tok"), col("start_tok"), col("ctx_id"), col("crosses"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .toSet
+      assert(got === batch,
+        "streamed packing differs from batch pack_contexts (ids fed in order)")
+    } finally q.stop()
+  }
 }
