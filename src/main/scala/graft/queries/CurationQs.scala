@@ -146,5 +146,43 @@ object CurationQs {
       ORDER BY source
     """))
 
-  val qs: Seq[Q] = Seq(samplePerCluster, packContexts, sourceMixture)
+  /** Cluster-quality monitor over the persisted quantizer: per-cell
+    * population, inertia (Σ d² to own centroid) and mean/max d² — the
+    * numbers that tell an operator when k has fallen behind corpus
+    * growth (cells bloat, inertia climbs) or a cell went degenerate.
+    * Inertia sums quantize per-row d² to integers first (determinism
+    * rule: float sums are merge-order-dependent; integer sums are
+    * exact under any partitioning). */
+  val clusterQuality = Q(
+    "cluster_quality",
+    (s, dir) => {
+      val (cents, assigned) = allIvf(s, dir)
+      val d2q = assigned.join(broadcast(cents), Seq("cid"))
+        .select(col("cid").cast("long").as("cid"),
+          floor(Vec.l2sqFast(col("embedding"), col("cv")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("d2q"))
+      d2q.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("d2q")).cast("double") / lit(1000000.0)).as("inertia"),
+          ((sum(col("d2q")).cast("double") / count(lit(1))) / lit(1000000.0)).as("mean_d2"),
+          (max(col("d2q")).cast("double") / lit(1000000.0)).as("max_d2"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH ${SqlIvf.ctes("true", SampleK, SampleIters, "cq")},
+      d AS (SELECT a.cid,
+                   CAST(floor(${Vec.sqlL2sq("e.v", "c.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d2q
+            FROM cqassign a
+            JOIN cqe e ON e.vec_id = a.vec_id
+            JOIN cqcents c ON c.cid = a.cid)
+      SELECT cid, COUNT(*) AS n_vecs,
+             CAST(SUM(d2q) AS DOUBLE) / 1000000.0 AS inertia,
+             (CAST(SUM(d2q) AS DOUBLE) / COUNT(*)) / 1000000.0 AS mean_d2,
+             CAST(MAX(d2q) AS DOUBLE) / 1000000.0 AS max_d2
+      FROM d
+      GROUP BY cid
+      ORDER BY cid
+    """))
+
+  val qs: Seq[Q] = Seq(samplePerCluster, packContexts, sourceMixture, clusterQuality)
 }
