@@ -40,6 +40,34 @@ class DedupQs2Spec extends AnyFunSuite with SharedSpark {
       "a byte-identical duplicate pair is missing or scored below 1.0")
   }
 
+  test("fingerprint_overlap: the df cap keeps every strong uncapped pair") {
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    // uncapped containment >= 0.8 pairs (the planted near-dups) from a
+    // full recompute with NO df ceiling — the cap may legitimately
+    // drop borderline pairs whose overlap rode on common fingerprints,
+    // but a pair that shares 80% of the smaller doc's RAW set must
+    // survive the boilerplate filter
+    val fps = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        bc.column(functions.WinnowFpSet(bc.expr(col("text")))).as("fps"))
+      .cache()
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val n = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val strong = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(n.select(col("doc_id").as("doc_a"), col("nfp").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("nfp").as("nb")), Seq("doc_b"))
+      .filter(col("shared").cast("double") / least(col("na"), col("nb")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    assert(strong.count() > 0, "no strong pairs at spec scale — spec is vacuous")
+    val capped = queries.DedupQs2.fingerprintOverlap.fn(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    assert(strong.join(capped, Seq("doc_a", "doc_b"), "left_anti").count() === 0,
+      "the df ceiling dropped a strong (containment >= 0.8) pair")
+  }
+
   test("dedup_semantic: every emitted pair re-verifies at cos >= tau, co-located, minimal witness") {
     val res = queries.DedupQs2.dedupSemantic.fn(spark, sf).localCheckpoint()
     assert(res.count() > 0, "no semantic dups at spec scale")
