@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain
+// graft.Bench"` as JSON. Two sbt behaviors broke that every round:
+// the logger prefixes forked output with `[info] `, and a trailing
+// `[success] Total time: …` line lands after the metric line. Route
+// the forked process's stdout straight through and drop the success
+// banner so the metric line is genuinely last and unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

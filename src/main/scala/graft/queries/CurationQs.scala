@@ -99,12 +99,14 @@ object CurationQs {
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok
         FROM documents),
       c AS (
+        -- DuckDB 1.0.0 windowed SUM(BIGINT) returns HUGEINT (int128);
+        -- uncast it would hash-mismatch Spark's int64 (r6's one red).
         SELECT shard, doc_id, n_tok,
-               COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+               CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
         FROM t)
       SELECT shard, doc_id, n_tok, start_tok,
-             start_tok // $CtxTokens AS ctx_id,
+             CAST(start_tok // $CtxTokens AS BIGINT) AS ctx_id,
              ((start_tok + n_tok - 1) // $CtxTokens) > (start_tok // $CtxTokens) AS crosses
       FROM c
       ORDER BY doc_id

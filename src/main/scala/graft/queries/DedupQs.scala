@@ -282,7 +282,7 @@ object DedupQs {
     },
     Some(s"""
       WITH RECURSIVE $sqlGroupCtes
-      SELECT doc_id, lang, length(text) AS text_len
+      SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS text_len
       FROM documents
       WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> survivor_id)
       ORDER BY doc_id

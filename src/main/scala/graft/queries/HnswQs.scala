@@ -746,7 +746,7 @@ object HnswQs {
                           unnest(list_transform(range(1, len(sel) + 1),
                                  i -> {'si': i, 'c': sel[i]})) AS u
                    FROM t$MaxCand))
-      SELECT level, src, si AS sel_rnk, dsts[c] AS dst, dvec[c] AS dist
+      SELECT level, src, CAST(si AS INTEGER) AS sel_rnk, dsts[c] AS dst, dvec[c] AS dist
       FROM ex
       ORDER BY level, src, sel_rnk
     """

@@ -100,7 +100,7 @@ object Relational {
         .orderBy(col("c_mktsegment"), col("rnk"))
     },
     Some("""
-      SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, CAST(rnk AS INTEGER) AS rnk, c_custkey, c_acctbal FROM (
         SELECT c_mktsegment, c_custkey, c_acctbal,
                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                   ORDER BY c_acctbal DESC, c_custkey) AS rnk

@@ -45,9 +45,9 @@ object TextQs {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      SELECT doc_id, length(text) AS n_chars,
-             len(${sqlWords("text")}) AS n_ws_tokens,
-             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len(${sqlWords("text")}) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
       FROM documents
       ORDER BY doc_id
     """))
@@ -80,7 +80,7 @@ object TextQs {
       val stop = sqlRatioIn(w, stopwords("en"))
       s"""
       SELECT doc_id,
-             len($w) AS n_tokens,
+             CAST(len($w) AS INTEGER) AS n_tokens,
              $punct AS punct_ratio,
              $stop AS stop_ratio,
              list_sum(list_transform($w, x -> length(x))) * 1.0 / len($w) AS mean_word_len,
@@ -166,10 +166,10 @@ object TextQs {
                list_transform(range(1, greatest(length(text) - 7, 0) + 1),
                               i -> md5(substr(text, i, 8))) AS h
         FROM documents)
-      SELECT doc_id, len(h) AS n_grams,
+      SELECT doc_id, CAST(len(h) AS INTEGER) AS n_grams,
              list_aggregate(h, 'min') AS min_fp,
-             len(list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
-                                              j -> list_aggregate(h[j:j+3], 'min')))) AS n_fp
+             CAST(len(list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                                              j -> list_aggregate(h[j:j+3], 'min')))) AS INTEGER) AS n_fp
       FROM h
       ORDER BY doc_id
     """))
@@ -192,8 +192,8 @@ object TextQs {
         .orderBy(col("doc_id"))
     },
     Some("""
-      SELECT doc_id, length(text) AS len_raw,
-             length(trim(regexp_replace(regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'), ' +', ' ', 'g'))) AS len_norm,
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS len_raw,
+             CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS len_norm,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
       FROM documents
       ORDER BY doc_id
@@ -216,7 +216,7 @@ object TextQs {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      SELECT doc_id, lang, length(text) AS text_len
+      SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS text_len
       FROM documents
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
             < CASE WHEN lang = 'en' THEN ${1L << 59} ELSE ${1L << 58} END

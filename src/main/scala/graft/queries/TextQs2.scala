@@ -189,7 +189,7 @@ object TextQs2 {
       bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgx GROUP BY doc_id, g),
       bg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_n
              FROM bc GROUP BY doc_id)
-      SELECT doc_id, n_tokens, n_types, ttr, n_bigrams, top_bigram_n,
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, CAST(n_types AS INTEGER) AS n_types, ttr, n_bigrams, top_bigram_n,
              top_bigram_n * 1.0 / n_bigrams AS rep_ratio
       FROM tok JOIN bg USING (doc_id)
       ORDER BY doc_id

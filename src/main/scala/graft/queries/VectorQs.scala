@@ -117,7 +117,7 @@ object VectorQs {
         .orderBy(col("vec_id"), col("dim"))
     },
     Some(s"""
-      SELECT vec_id, sqrt(n2) AS norm, u.i AS dim, u.x / sqrt(n2) AS u
+      SELECT vec_id, sqrt(n2) AS norm, CAST(u.i AS INTEGER) AS dim, u.x / sqrt(n2) AS u
       FROM (SELECT vec_id, n2,
                    unnest(list_transform(range(1, len(v)+1),
                                          i -> {'i': i - 1, 'x': v[i]})) AS u
@@ -290,7 +290,7 @@ object VectorQs {
                CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sum_q,
                CAST(SUM(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sumsq_q
         FROM x GROUP BY label, dim)
-      SELECT label, dim, n, sum_q / n / 1000000.0 AS mean,
+      SELECT label, CAST(dim AS INTEGER) AS dim, n, sum_q / n / 1000000.0 AS mean,
              (sumsq_q - sum_q * sum_q / n) / n / 1.0e12 AS variance
       FROM m
       ORDER BY label, dim
@@ -389,7 +389,7 @@ object VectorQs {
                        i -> abs(v[i] - CAST(floor(v[i] / scale + 0.5) AS INT) * scale)),
                      (x, y) -> x + y) / 64.0 AS mean_abs_err
             FROM sc)
-      SELECT vec_id, scale, u.i AS dim,
+      SELECT vec_id, scale, CAST(u.i AS INTEGER) AS dim,
              CAST(floor(u.x / scale + 0.5) AS INT) AS q, mean_abs_err
       FROM (SELECT vec_id, scale, mean_abs_err,
                    unnest(list_transform(range(1, len(v)+1),

@@ -64,6 +64,15 @@ def main(sf_dir, out_dir):
             print(f"{name:28s} SCHEMA MISMATCH spark={gc} duck={ec}")
             n_fail += 1
             continue
+        # The driver hashes TYPED values: an oracle HUGEINT vs Spark
+        # BIGINT hash-mismatches even when fetchall() erases the
+        # difference (r6's pack_contexts red slipped through here).
+        gtypes = [str(t) for _, t in sorted(zip(gcols, got.types))]
+        etypes = [str(t) for _, t in sorted(zip(ecols, exp.types))]
+        if gtypes != etypes:
+            print(f"{name:28s} DTYPE MISMATCH spark={list(zip(gc, gtypes))} duck={list(zip(ec, etypes))}")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"{name:28s} ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
             n_fail += 1
