@@ -69,6 +69,11 @@ object MultimodalQs {
     """))
 
   private val PhashMaxHamming = 4
+  // same 20k per-(band, key) ceiling as dedup_minhash/dedup_simhash
+  // (reference bucket cap, simple_sim_hash.py:23): with only 256
+  // possible 8-bit band keys the self-join is ~N²/256 per band on a
+  // degenerate corpus unless a cap bounds the bucket
+  private val PhashBucketCap = 20000
 
   /** Perceptual-hash near-dup pairs over the binary payloads — the
     * image-dedup pass of a multimodal pipeline (identical payloads
@@ -76,10 +81,11 @@ object MultimodalQs {
     * Same banded shape as dedup_simhash: the 32-bit phash splits into
     * 4 byte-bands, candidates collide on one equal band, and only
     * candidates pay the exact Hamming verify (bit_count of xor ≤ 4).
-    * At scale the candidate join shuffles 4 tiny keys per asset and a
-    * per-band bucket cap guards degenerate hashes — never all-pairs.
-    * The stub phash is deterministic over the payload md5, so the
-    * whole chain is oracle-exact. */
+    * At scale the candidate join shuffles 4 tiny keys per asset and
+    * the per-(band, key) row_number ceiling bounds every bucket —
+    * never all-pairs (deterministic first-by-doc_id keep, mirrored in
+    * the oracle; no-op below the cap). The stub phash is deterministic
+    * over the payload md5, so the whole chain is oracle-exact. */
   val mmPhashDedup = Q(
     "mm_phash_dedup",
     (s, dir) => {
@@ -91,6 +97,11 @@ object MultimodalQs {
           posexplode(array((0 until 4).map(b =>
             shiftright(col("ph"), 8 * b).bitwiseAND(lit(255L))): _*))
             .as(Seq("band", "bkey")))
+        .withColumn("brn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+        .filter(col("brn") <= PhashBucketCap)
+        .drop("brn")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -114,9 +125,13 @@ object MultimodalQs {
                   list_transform(ub, x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
                 (hh, bb) -> ((31 * hh + bb) % 4294967296 + 4294967296) % 4294967296) AS ph
             FROM b0),
-      bands AS (SELECT doc_id, ph, u.b AS band, (ph >> (8 * u.b)) & 255 AS bkey
+      bands0 AS (SELECT doc_id, ph, u.b AS band, (ph >> (8 * u.b)) & 255 AS bkey
                 FROM (SELECT doc_id, ph, unnest(list_transform(range(0, 4), b -> {'b': b})) AS u
                       FROM p)),
+      bands AS (SELECT doc_id, ph, band, bkey FROM (
+                  SELECT doc_id, ph, band, bkey,
+                         ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS brn
+                  FROM bands0) WHERE brn <= $PhashBucketCap),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
                FROM bands x JOIN bands y
                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)

@@ -55,6 +55,10 @@ object RoarIndex {
     val ordered = edges.select(col("src"), col("rnk"), col("dst"))
       .orderBy(col("src"), col("rnk"))
     val nEdges = ordered.count()
+    // the metadata word is 32-bit in the format; refuse to write a
+    // silently-wrapped count rather than record a wrong edge total
+    require(nEdges <= 0xffffffffL,
+      s"RoarIndex metadata word is uint32; got $nEdges edges")
     val out = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(outPath), 1 << 20))
     try {

@@ -126,7 +126,13 @@ object Docs {
               members.foreach { m =>
                 val (lo, hi) = if (m.doc_id < rd.doc_id) (m, rd) else (rd, m)
                 // lowest-matching-band suppression: an earlier band
-                // whose triple matches on both docs will emit this pair
+                // whose triple matches on both docs will emit this pair.
+                // Cap-binding caveat (same as batch DedupQs first-match
+                // emission): if one doc was capped OUT of the earlier
+                // band's bucket, that band never paired them yet still
+                // suppresses here — under a binding bucketCap the
+                // candidate set was probabilistic already, and the spec
+                // corpus never binds the cap
                 val earlier = (0 until band).exists { b2 =>
                   (0 until 3).forall(i => lo.sig(3 * b2 + i) == hi.sig(3 * b2 + i))
                 }

@@ -51,8 +51,13 @@ object VectorIngest {
     * emitted as a drop when some resident clears the cosine threshold;
     * the witness is the smallest-id such resident. With ids arriving
     * in ascending order this equals the batch operator row-for-row
-    * (the spec proves it); out of order, "resident" means "arrived
-    * earlier", which is the online-dedup contract. State per cell is
+    * (the spec proves it). Out of order, the witness loop ALSO
+    * requires m.vec_id < id — residency alone isn't enough — so the
+    * contract stays the batch id-ordered one: a smaller-id arrival is
+    * never dropped by an already-resident larger-id vector (it joins
+    * the residents instead and may itself witness later drops). That
+    * keeps out-of-order replays convergent to the batch answer rather
+    * than dependent on arrival order. State per cell is
     * a capped list — the cell-size knob is k, as in batch. The cosine
     * is the VecCosine fold exactly (floats widened per element). */
   def semanticDedupStream(
