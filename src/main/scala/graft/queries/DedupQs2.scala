@@ -90,7 +90,6 @@ object DedupQs2 {
       ORDER BY doc_a, doc_b
     """))
 
-  private val SemK = 16
   private val SemIters = 3
   private val SemTau = 0.45 // same τ as dedup_embedding — comparable sets
 
@@ -123,7 +122,7 @@ object DedupQs2 {
         .orderBy(col("drop_vid"))
     },
     Some(s"""
-      WITH ${SqlIvf.ctes("true", SemK, SemIters, "sm")},
+      WITH ${SqlIvf.sizedCtes("true", SemIters, "sm")},
       m AS (SELECT a.vec_id, a.cid, e.v FROM smassign a JOIN sme e ON e.vec_id = a.vec_id),
       pr AS (SELECT x.cid, y.vec_id AS drop_vid, x.vec_id AS keep_vid,
                     ${Vec.sqlCosine("x.v", "y.v")} AS cos

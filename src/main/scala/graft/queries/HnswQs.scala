@@ -148,13 +148,19 @@ object HnswQs {
       (c, Ivf.assign(b, c))
     }
 
-  /** Persisted 16-cell quantizer the quality sweep probes. */
-  def sweepIvf(s: SparkSession, dir: String) =
-    graft.operators.ProjIndex.ensureIvf(s, dir, "sweep", 16, 2) {
-      val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
-      val c = Ivf.centroids(b, 16, 2)
-      (c, Ivf.assign(b, c))
+  /** Persisted DATA-SIZED quantizer the quality sweep, adaptive
+    * probing, and routed graph search share (Ivf.cellsFor — 16 cells
+    * at test SF, 256 at 1M: the routing quantizer MUST scale with N
+    * or probe sets degenerate to quarter-corpus scans, the 1M run's
+    * headline lesson). */
+  def sweepIvf(s: SparkSession, dir: String) = {
+    val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
+    val k = Ivf.cellsFor(b.count())
+    graft.operators.ProjIndex.ensureIvf(s, dir, "sweep", k, 2) {
+      val (c, a, _) = Ivf.sizedBuild(b, 2)
+      (c, a)
     }
+  }
 
   /** Multi-entry beam search: per-query seeds = the base nodes nearest
     * each IVF centroid, ranked by query distance, top-3 as entries

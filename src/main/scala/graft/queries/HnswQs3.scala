@@ -344,7 +344,7 @@ object HnswQs3 {
     },
     Some(s"""
       WITH ${HnswQs.sqlRichCtes},
-      ${SqlIvf.ctes("vec_id % 50 <> 0", 16, 2, "s")},
+      ${SqlIvf.sizedCtes("vec_id % 50 <> 0", 2, "s")},
       proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= $RoutedDeg),
       qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),

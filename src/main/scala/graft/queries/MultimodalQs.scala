@@ -102,6 +102,10 @@ object MultimodalQs {
             .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
         .filter(col("brn") <= PhashBucketCap)
         .drop("brn")
+        // referenced on BOTH sides of the self-join: without a
+        // boundary the explode + window shuffle recompute per side
+        // (lesson 8)
+        .localCheckpoint()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -10,18 +10,19 @@ import org.apache.spark.sql.functions._
   * IvfSpec/BeamSpec check recall against the exact groundtruth). */
 object VectorQs3 {
 
-  private val K = 16
   private val Iters = 3
 
-  /** k-means centroids + inverted-list sizes. Oracle'd (round 3): the
-    * fixed-iteration Lloyd build unrolls into SqlIvf.ctes, proven
-    * bit-identical to Ivf.centroids' quantized-exact means. */
+  /** k-means centroids + inverted-list sizes, DATA-SIZED (r7 item 1):
+    * cells and training stride come from Ivf.cellsFor/trainStrideFor
+    * — 16 cells at every test SF (oracle byte-identical to the old
+    * fixed-K form there), 256 at 1M, 1024 at 10M. Oracle'd: the
+    * fixed-iteration Lloyd build unrolls into SqlIvf.sizedCtes, which
+    * computes the SAME integer formulas in SQL. */
   val ivfBuild = Q(
     "ivf_build",
     (s, dir) => {
       val emb = Tables.t(s, dir, "embeddings")
-      val cents = Ivf.centroids(emb, K, Iters)
-      val assigned = Ivf.assign(emb, cents)
+      val (cents, assigned, _) = Ivf.sizedBuild(emb, Iters)
       assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
         .join(cents, Seq("cid"))
         .select(col("cid"), col("n_vecs"),
@@ -29,7 +30,7 @@ object VectorQs3 {
         .orderBy(col("cid"))
     },
     Some(s"""
-      WITH ${SqlIvf.ctes("true", K, Iters, "b")},
+      WITH ${SqlIvf.sizedCtes("true", Iters, "b")},
       nv AS (SELECT cid, COUNT(*) AS n_vecs FROM bassign GROUP BY cid)
       SELECT c.cid, nv.n_vecs, sqrt(${Vec.sqlNorm2("c.cv")}) AS centroid_norm
       FROM bcents c JOIN nv ON nv.cid = c.cid
@@ -37,13 +38,19 @@ object VectorQs3 {
     """))
 
   /** The persisted base-side IVF quantizer every search query loads
-    * (build-once k-means; search must time search, not a rebuild). */
-  def baseIvf(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.operators.ProjIndex.ensureIvf(s, dir, "base", K, Iters) {
-      val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
-      val c = Ivf.centroids(b, K, Iters)
-      (c, Ivf.assign(b, c))
+    * (build-once k-means; search must time search, not a rebuild).
+    * Cell count is DATA-SIZED — the artifact path carries the derived
+    * k, so a corpus 100× bigger builds (and loads) a √N-appropriately
+    * bigger quantizer instead of the sf-tuned 16 cells the 1M run
+    * proved scans 25% of the base per probe set. */
+  def baseIvf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
+    val k = Ivf.cellsFor(b.count())
+    graft.operators.ProjIndex.ensureIvf(s, dir, "base", k, Iters) {
+      val (c, a, _) = Ivf.sizedBuild(b, Iters)
+      (c, a)
     }
+  }
 
   /** nprobe=4 routed search, exact rerank within probed cells — over
     * the PERSISTED IVF index (IndexStore.loadIvf). Oracle'd (round 3):
@@ -60,7 +67,7 @@ object VectorQs3 {
         .orderBy(col("qid"), col("rnk"))
     },
     Some(s"""
-      WITH ${SqlIvf.ctes("vec_id % 50 <> 0", K, Iters, "b")},
+      WITH ${SqlIvf.sizedCtes("vec_id % 50 <> 0", Iters, "b")},
       q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       pr AS (SELECT qid, cid FROM (
                SELECT q.qid, c.cid,
@@ -145,28 +152,49 @@ object VectorQs3 {
   // ---- Product quantization (operators.Pq) ----
 
   private val PqM = 8
-  private val PqKsub = 16
   private val PqIters = 2
+  /** PQ sub-quantizer size, DATA-SIZED (r7 item 1: 16-way codebooks
+    * drown 1M points in ADC ties, measured recall 0.004 — ksub must
+    * grow with N): the same √N power-of-two rule as IVF cells, capped
+    * at 256 (8-bit codes, the standard PQ operating point). 16 at
+    * every test SF, 256 from ~260k vectors up. */
+  def pqKsubFor(n: Long): Int = math.min(256, Ivf.cellsFor(n))
+  /** Exact-rerank window, DATA-SIZED: ~n/500 candidates, floor 50
+    * (test SF unchanged), cap 2000 — the window the ADC ties are
+    * broken inside must scale with the population the ties come
+    * from. */
+  def pqRerankFor(n: Long): Int =
+    math.min(2000L, math.max(50L, n / 500L)).toInt
 
-  /** Persisted PQ index over the base side: 8 subspace codebooks of 16
-    * centroids (64 floats → 8 codes/vector). */
-  def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.operators.ProjIndex.ensurePq(s, dir, PqM, PqKsub, PqIters) {
-      val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
-        .select(col("vec_id"), col("embedding"))
-      val cents = graft.operators.Pq.train(b, PqM, PqKsub, PqIters)
+  /** Persisted PQ index over the base side: 8 subspace codebooks of
+    * ksub(N) centroids each (64 floats → 8 codes/vector). Codebooks
+    * train on the strided sample (Ivf.trainStrideFor — stride 1 at
+    * test SF), every vector pays only the encode pass. */
+  def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val b = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val n = b.count()
+    val ksub = pqKsubFor(n)
+    val stride = Ivf.trainStrideFor(n, ksub)
+    graft.operators.ProjIndex.ensurePq(s, dir, PqM, ksub, PqIters) {
+      val train = if (stride <= 1L) b else b.filter(col("vec_id") % stride === 0)
+      val cents = graft.operators.Pq.train(train, PqM, ksub, PqIters)
       val codes = graft.operators.Pq.encode(b, cents, PqM)
       (cents, codes)
     }
+  }
 
   /** Per-subspace quantizer CTE chains + the (sub, vec_id, cid) code
-    * table and (sub, cid, cv) codebook union — the SqlIvf unroll run
-    * once per PQ subspace over its slice of the embedding. */
+    * table and (sub, cid, cv) codebook union — the DATA-SIZED SqlIvf
+    * unroll run once per PQ subspace over its slice of the embedding
+    * (kCap 256 mirrors pqKsubFor; the per-subspace count equals the
+    * base count, so every subspace derives the same ksub/stride). */
   private lazy val sqlPqCtes: String = {
     val dsub = 64 / PqM
     val chains = (0 until PqM).map { sub =>
-      SqlIvf.ctes("vec_id % 50 <> 0", PqKsub, PqIters, s"p$sub",
-        vexpr = s"(embedding::DOUBLE[])[${sub * dsub + 1}:${sub * dsub + dsub}]")
+      SqlIvf.sizedCtes("vec_id % 50 <> 0", PqIters, s"p$sub",
+        vexpr = s"(embedding::DOUBLE[])[${sub * dsub + 1}:${sub * dsub + dsub}]",
+        kCap = 256)
     }.mkString(",\n      ")
     val codes = (0 until PqM)
       .map(sub => s"SELECT $sub AS sub, vec_id, cid FROM p${sub}assign")
@@ -176,7 +204,8 @@ object VectorQs3 {
       .mkString(" UNION ALL ")
     s"""$chains,
       pqcodes AS ($codes),
-      pqcents AS ($cents)"""
+      pqcents AS ($cents),
+      prr AS (SELECT LEAST(2000, GREATEST(50, n // 500)) AS rr FROM p0prm)"""
   }
 
   /** PQ codebook + code-assignment stats: one row per (subspace,
@@ -207,18 +236,25 @@ object VectorQs3 {
       ORDER BY c.sub, c.cid
     """))
 
-  /** ADC candidate search over the 8-byte codes (top-50) + exact L2
-    * rerank to top-10 — the compressed-domain scan never touches the
-    * float table; only the 50 candidates per query do. Rows-only
-    * (PqSpec asserts recall vs the exact groundtruth). */
+  /** ADC candidate search over the 8-byte codes (top-rerank(N)) +
+    * exact L2 rerank to top-10 — the compressed-domain scan never
+    * touches the float table; only the rerank-window candidates per
+    * query do. Window and codebook size are DATA-SIZED (pqKsubFor /
+    * pqRerankFor — the 1M run measured recall 0.004 with the old
+    * sf-tuned 16×top-50). Oracle'd: the per-subspace sized quantizer
+    * unroll + the same windowed ADC fold. */
   val pqSearch = Q(
     "pq_search",
     (s, dir) => {
       val (cents, codes) = pqIndex(s, dir)
       val emb = Tables.t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 50 =!= 0)
+      val nBase = base.count()
+      val ksub = pqKsubFor(nBase)
+      val rerank = pqRerankFor(nBase)
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val adc = graft.operators.Pq.searchAdc(codes, cents, queries, PqM, PqKsub, k = 50)
+      val adc = graft.operators.Pq.searchAdc(codes, cents, queries, PqM, ksub, k = rerank)
       val rer = adc
         .join(emb.filter(col("vec_id") % 50 =!= 0)
           .select(col("vec_id").as("bid"), col("embedding").as("bv")), Seq("bid"))
@@ -230,7 +266,7 @@ object VectorQs3 {
     // ADC mirror: per (query, vector) the asymmetric distance is the
     // ordered subspace fold Σ_s ||q_s − cent(s, code_s)||² (init 0.0,
     // sub ascending — the kernel's accumulation order), then the same
-    // top-50 → exact-rerank top-10
+    // data-sized top-rerank(N) window → exact-rerank top-10
     Some(s"""
       WITH $sqlPqCtes,
       q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
@@ -245,7 +281,7 @@ object VectorQs3 {
               FROM d2s GROUP BY qid, bid),
       t50 AS (SELECT qid, bid FROM (
                 SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, bid) AS rn
-                FROM adc) WHERE rn <= 50),
+                FROM adc) WHERE rn <= (SELECT rr FROM prr)),
       bb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
       rer AS (SELECT t.qid, t.bid, sqrt(${Vec.sqlL2sq("q.qv", "b.bv")}) AS dist
               FROM t50 t JOIN q ON q.qid = t.qid JOIN bb b ON b.bid = t.bid)

@@ -242,7 +242,7 @@ object VectorQs4 {
     // bit-identical) and applies the same adaptive rule — so the
     // adaptive routing, probe counts, and rerank are all value-checked
     Some(s"""
-      WITH ${SqlIvf.ctes("vec_id % 50 <> 0", 16, 2, "s")},
+      WITH ${SqlIvf.sizedCtes("vec_id % 50 <> 0", 2, "s")},
       q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       rk AS (SELECT qid, cid, d2,
                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn

@@ -51,13 +51,15 @@ object VectorIngest {
     * emitted as a drop when some resident clears the cosine threshold;
     * the witness is the smallest-id such resident. With ids arriving
     * in ascending order this equals the batch operator row-for-row
-    * (the spec proves it). Out of order, the witness loop ALSO
-    * requires m.vec_id < id — residency alone isn't enough — so the
-    * contract stays the batch id-ordered one: a smaller-id arrival is
-    * never dropped by an already-resident larger-id vector (it joins
-    * the residents instead and may itself witness later drops). That
-    * keeps out-of-order replays convergent to the batch answer rather
-    * than dependent on arrival order. State per cell is
+    * (the spec proves it — that is the only exactness proven). Out of
+    * order, the witness loop ALSO requires m.vec_id < id — residency
+    * alone isn't enough — so no SPURIOUS drop is ever emitted: a
+    * smaller-id arrival is never dropped by an already-resident
+    * larger-id vector. But append mode cannot retract, so a batch
+    * drop whose smaller-id witness arrives AFTER the victim is simply
+    * missed: under out-of-order arrival the streamed drop set is a
+    * SUBSET of the batch answer and remains arrival-order-dependent.
+    * State per cell is
     * a capped list — the cell-size knob is k, as in batch. The cosine
     * is the VecCosine fold exactly (floats widened per element). */
   def semanticDedupStream(

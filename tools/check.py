@@ -67,8 +67,10 @@ def main(sf_dir, out_dir):
         # The driver hashes TYPED values: an oracle HUGEINT vs Spark
         # BIGINT hash-mismatches even when fetchall() erases the
         # difference (r6's pack_contexts red slipped through here).
-        gtypes = [str(t) for _, t in sorted(zip(gcols, got.types))]
-        etypes = [str(t) for _, t in sorted(zip(ecols, exp.types))]
+        # stringify BEFORE sorting: duplicate column names would otherwise
+        # make Python compare raw DuckDBPyType objects and raise TypeError
+        gtypes = [t for _, t in sorted(zip(gcols, map(str, got.types)))]
+        etypes = [t for _, t in sorted(zip(ecols, map(str, exp.types)))]
         if gtypes != etypes:
             print(f"{name:28s} DTYPE MISMATCH spark={list(zip(gc, gtypes))} duck={list(zip(ec, etypes))}")
             n_fail += 1
