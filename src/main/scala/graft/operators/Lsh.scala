@@ -40,6 +40,19 @@ object Lsh {
   val PairBands = 16
   val PairBandBits = 4
 
+  /** Corpus-size cutover for dedup_embedding's band layout (r7 item 1,
+    * measured in the 1M scale run): below this the 16-band × 4-bit
+    * layout over RAW vectors runs (high boundary-recall at small N —
+    * DedupEmbeddingRecallSpec's floor); at or above it the SAME
+    * 64-plane signature regroups into 2 bands × 32 bits over CENTERED
+    * vectors (quantized-exact global mean subtracted) — the only
+    * configuration that survived 1M clustered vectors (uncentered
+    * 16×4 killed at 15 min; centered 2×32 found 99.9% of planted dups
+    * in 63 s). Both engines branch on the same corpus count. */
+  val PairScaleCutover = 100000L
+  val PairScaleBands = 2
+  val PairScaleNibbles = 8 // 8 × 4-bit keys combine into one 32-bit band key
+
   /** bandPlanes(band * PairBandBits + bit)(dim) ∈ [-1, 1). */
   val bandPlanes: IndexedSeq[IndexedSeq[Double]] = {
     var x = 0xC2B2AE3D27D4EB4FL

@@ -399,46 +399,47 @@ object DedupQs {
     """))
 
   /** Embedding-cosine near-duplicate pairs at scale: banded hyperplane
-    * LSH candidates (16 bands × 4 sign bits, simple_sim_hash.py's
-    * hyperplane signature applied pairwise like dedup_minhash's band
-    * join) verified by exact cosine ≥ threshold. No all-pairs scan, no
-    * full-table broadcast: the corpus is hashed once into 16 small band
-    * keys per vector, candidates come from an equi-join on
-    * (band_idx, band_key) with a 20k per-bucket ceiling (skew guard),
-    * and only candidate pairs are ever scored. Like every LSH dedup,
-    * recall at the threshold boundary is probabilistic —
-    * P(capture) = 1−(1−p^4)^16, p = 1−θ/π (DedupEmbeddingRecallSpec
-    * measures it against brute force); production tuning trades
-    * bandBits vs bands exactly as Lsh.bandPlanes documents. */
-  val dedupEmbedding = Q(
-    "dedup_embedding",
-    (s, dir) => {
-      import graft.operators.Lsh
+    * LSH candidates (simple_sim_hash.py's hyperplane signature applied
+    * pairwise like dedup_minhash's band join) verified by exact cosine
+    * ≥ threshold. No all-pairs scan, no full-table broadcast: the
+    * corpus is hashed ONCE into the 64-plane signature, candidates
+    * come from an equi-join on (band_idx, band_key) with a 20k
+    * per-bucket ceiling (skew guard), and only candidate pairs are
+    * ever scored.
+    *
+    * The band LAYOUT is DATA-SIZED (r7 item 1, both engines branch on
+    * the corpus count — Lsh.PairScaleCutover): small corpora run 16
+    * bands × 4 sign bits over raw vectors (boundary recall
+    * P(capture) = 1−(1−p^4)^16, p = 1−θ/π —
+    * DedupEmbeddingRecallSpec's floor), large corpora regroup the SAME
+    * 64-plane signature into 2 bands × 32 bits over CENTERED vectors
+    * (quantized-exact global mean subtracted) — the configuration the
+    * 1M scale run proved out after the uncentered short-band layouts
+    * went quadratic on clustered data (docs/scale_run.md lesson 3:
+    * a cluster's offset freezes short keys cluster-wide; centering
+    * un-freezes them and 32-bit keys leave buckets near-singleton
+    * while exact dups still collide in every band).
+    *
+    * The cutover is overridable so the spec can force the scale branch
+    * on the small test corpus (the catalog entry always passes
+    * Lsh.PairScaleCutover). */
+  private[graft] def embeddingPairs(
+      s: SparkSession, dir: String, cutover: Long): DataFrame = {
+      import graft.operators.{Lsh, Moments}
       val e = Tables.t(s, dir, "embeddings")
+      val n = e.count()
       // ONE hashing pass → a 16-int signature array per vector via the
       // compact LshBandKeys kernel. The inline form (64 VecDot columns
       // over 64 literal plane arrays) generated so much Java that
       // janino compilation dominated the query — ~1s per stage
       // carrying the expression (lesson: plan-size cost is real even
-      // when the data is small). Built in a Project so posexplode
-      // generates from an ATTRIBUTE (lesson 2).
+      // when the data is small). Built in a Project so the generator
+      // explodes an ATTRIBUTE (lesson 2).
       val bc = org.apache.spark.sql.graftbridge.Bridge
-      val sigs = e.select(col("vec_id"),
-        bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")))).as("ks"))
-      val bands = sigs
-        .select(col("vec_id"), col("ks"),
-          posexplode(col("ks")).as(Seq("band_idx", "bkey")))
-        // per-bucket ceiling (same 20k cap as simhash_ann): one hot
-        // bucket must not turn the candidate self-join quadratic on a
-        // skewed corpus
-        .withColumn("brn", row_number().over(
-          Window.partitionBy(col("band_idx"), col("bkey")).orderBy(col("vec_id"))))
-        .filter(col("brn") <= BandBucketCap)
-        .drop("brn")
       // first-match-band dedup: a pair colliding in several bands is
       // emitted ONLY from its lowest matching band (rows carry both
       // signature arrays, so "an earlier band also matched" is a local
-      // ≤15-int-compare predicate). Same candidate SET as
+      // int-compare predicate). Same candidate SET as
       // join-then-distinct, but the multiply-matched pair stream never
       // shuffles into a distinct — at 100 TB that shuffle carries every
       // duplicate. Under a binding bucket cap the earlier-band test
@@ -446,15 +447,62 @@ object DedupQs {
       // suppresses its pairs — candidates were probabilistic under the
       // cap already; the test corpus never binds it (max bucket <<
       // 20k, oracle unaffected).
-      val cand = bands.as("x")
-        .join(bands.as("y"),
+      val (bands, firstMatchBand) =
+        if (n < cutover) {
+          val sigs = e.select(col("vec_id"),
+            bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")))).as("ks"))
+          val b = sigs.select(col("vec_id"), col("ks"),
+            posexplode(col("ks")).as(Seq("band_idx", "bkey")))
+          val sup = !((0 until Lsh.PairBands - 1).map { bnd =>
+            col("x.band_idx") > bnd &&
+              element_at(col("x.ks"), bnd + 1) === element_at(col("y.ks"), bnd + 1)
+          }.reduce((p, q) => p || q))
+          (b, sup)
+        } else {
+          // quantized-exact global mean (Moments — partitioning-exact
+          // integer sums, SURVEY §6), inlined as literals
+          val m = e.agg(Moments.moments(Lsh.Dim)(col("embedding")).as("m"))
+            .select(col("m.sums").as("sums"), col("m.n").as("cnt")).head()
+          val sums = m.getSeq[Long](0)
+          val cnt = m.getLong(1)
+          val meanArr = array((0 until Lsh.Dim).map(d =>
+            lit((sums(d).toDouble / cnt) / 1000000.0)): _*)
+          val centered = e.select(col("vec_id"),
+            zip_with(col("embedding").cast("array<double>"), meanArr,
+              (x, mm) => x - mm).as("cv"))
+          val sigs = centered.select(col("vec_id"),
+            bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")))).as("ks"))
+            .localCheckpoint()
+          // regroup 8 consecutive 4-bit keys into one 32-bit band key
+          val b = sigs.select(col("vec_id"), col("ks"),
+            explode(expr(
+              s"transform(sequence(0, ${Lsh.PairScaleBands - 1}), b -> named_struct(" +
+                "'band_idx', b, " +
+                "'bkey', CAST(ks[b*8] AS BIGINT)*268435456 + ks[b*8+1]*16777216 + " +
+                "ks[b*8+2]*1048576 + ks[b*8+3]*65536 + ks[b*8+4]*4096 + " +
+                "ks[b*8+5]*256 + ks[b*8+6]*16 + ks[b*8+7]))")).as("w"))
+            .select(col("vec_id"), col("ks"),
+              col("w.band_idx").as("band_idx"), col("w.bkey").as("bkey"))
+          val sup = !(col("x.band_idx") > 0 &&
+            (0 until Lsh.PairScaleNibbles).map(j =>
+              element_at(col("x.ks"), j + 1) === element_at(col("y.ks"), j + 1))
+              .reduce((p, q) => p && q))
+          (b, sup)
+        }
+      // per-bucket ceiling (same 20k cap as simhash_ann): one hot
+      // bucket must not turn the candidate self-join quadratic on a
+      // skewed corpus
+      val capped = bands
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("band_idx"), col("bkey")).orderBy(col("vec_id"))))
+        .filter(col("brn") <= BandBucketCap)
+        .drop("brn")
+      val cand = capped.as("x")
+        .join(capped.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
-        .filter(!((0 until Lsh.PairBands - 1).map { b =>
-          col("x.band_idx") > b &&
-            element_at(col("x.ks"), b + 1) === element_at(col("y.ks"), b + 1)
-        }.reduce((p, q) => p || q)))
+        .filter(firstMatchBand)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       cand
         .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
@@ -462,25 +510,54 @@ object DedupQs {
         .select(col("a"), col("b"), Vec.cosineFast(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= EmbCosThreshold)
         .orderBy(col("a"), col("b"))
-    },
+  }
+
+  val dedupEmbedding = Q(
+    "dedup_embedding",
+    (s, dir) => embeddingPairs(s, dir, graft.operators.Lsh.PairScaleCutover),
     Some {
       import graft.operators.Lsh
-      def sqlDotB(j: Int): String =
-        s"list_reduce(list_transform(range(1, ${Lsh.Dim} + 1), i -> v[i] * (${Lsh.sqlBandPlane(j)})[i]), (x, y) -> x + y)"
-      def sqlBkey(b: Int): String =
+      def sqlDotB(j: Int, vc: String): String =
+        s"list_reduce(list_transform(range(1, ${Lsh.Dim} + 1), i -> $vc[i] * (${Lsh.sqlBandPlane(j)})[i]), (x, y) -> x + y)"
+      def sqlBkey(b: Int, vc: String): String =
         (0 until Lsh.PairBandBits)
-          .map(bit => s"CASE WHEN ${sqlDotB(Lsh.PairBandBits * b + bit)} > 0 THEN ${1 << bit} ELSE 0 END")
+          .map(bit => s"CASE WHEN ${sqlDotB(Lsh.PairBandBits * b + bit, vc)} > 0 THEN ${1 << bit} ELSE 0 END")
           .mkString("(", " + ", ")")
-      val keyList = (0 until Lsh.PairBands).map(sqlBkey).mkString("[", ", ", "]")
+      val keyList = (0 until Lsh.PairBands).map(sqlBkey(_, "v")).mkString("[", ", ", "]")
+      val keyListC = (0 until Lsh.PairBands).map(sqlBkey(_, "cv")).mkString("[", ", ", "]")
+      // same corpus-count branch as the Spark side: small = 16×4-bit
+      // over raw v; scale = 2×32-bit over centered v (quantized-exact
+      // mean, the SqlIvf moment form). Exactly one branch is non-empty.
       s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      sg AS (SELECT vec_id, $keyList AS ks FROM e),
-      bands AS (
-        SELECT vec_id, u.i AS band_idx, u.k AS bkey
+      prm AS (SELECT COUNT(*) AS n FROM e),
+      sg AS (SELECT vec_id, $keyList AS ks FROM e, prm WHERE n < ${Lsh.PairScaleCutover}),
+      sbands AS (
+        SELECT vec_id, u.i AS band_idx, CAST(u.k AS BIGINT) AS bkey
         FROM (SELECT vec_id,
                      unnest(list_transform(range(1, ${Lsh.PairBands + 1}),
                             i -> {'i': i - 1, 'k': ks[i]})) AS u
               FROM sg)),
+      mx AS (SELECT u.i AS dim,
+                    SUM(CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT)) AS s,
+                    COUNT(*) AS cnt
+             FROM (SELECT unnest(list_transform(range(1, ${Lsh.Dim + 1}),
+                          i -> {'i': i, 'x': v[i]})) AS u FROM e)
+             GROUP BY u.i),
+      mn AS (SELECT list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS m FROM mx),
+      ce AS (SELECT vec_id, list_transform(range(1, ${Lsh.Dim + 1}), i -> v[i] - m[i]) AS cv
+             FROM e, mn, prm WHERE n >= ${Lsh.PairScaleCutover}),
+      csg AS (SELECT vec_id, $keyListC AS ks FROM ce),
+      cbands AS (
+        SELECT vec_id, u.b AS band_idx,
+               CAST(ks[u.b*8+1] AS BIGINT)*268435456 + ks[u.b*8+2]*16777216 +
+               ks[u.b*8+3]*1048576 + ks[u.b*8+4]*65536 + ks[u.b*8+5]*4096 +
+               ks[u.b*8+6]*256 + ks[u.b*8+7]*16 + ks[u.b*8+8] AS bkey
+        FROM (SELECT vec_id, ks,
+                     unnest(list_transform(range(0, ${Lsh.PairScaleBands}), b -> {'b': b})) AS u
+              FROM csg)),
+      bands AS (SELECT vec_id, band_idx, bkey FROM sbands
+                UNION ALL SELECT vec_id, band_idx, bkey FROM cbands),
       capped AS (
         SELECT vec_id, band_idx, bkey FROM (
           SELECT vec_id, band_idx, bkey,
