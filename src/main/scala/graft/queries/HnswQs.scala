@@ -12,15 +12,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * recall-vs-parameter evaluation sweep. */
 object HnswQs {
 
-  private[queries] val MaxLevel = 2
-  private[queries] val LevelK = 4
+  private[graft] val MaxLevel = 2
+  private[graft] val LevelK = 4
 
   /** Geometric level assignment with integer ops only (portable to the
     * oracle): level = number of trailing base-4 "zero digits" of a
     * 31-bit md5-derived hash — P(level ≥ l) = 4^-l, the reference's
     * geometric _assign_level (hnsw_cosine_status_high.py:112-119) with
     * m_L = 1/ln(4), minus engine-dependent log/rng. */
-  private[queries] def levelCol(id: Column): Column = {
+  private[graft] def levelCol(id: Column): Column = {
     val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long").bitwiseAND(lit(0x7fffffffL))
     (1 to MaxLevel).foldLeft(lit(0)) { (acc, l) =>

@@ -117,30 +117,21 @@ object HnswQs2 {
 
   /** Persisted initial-member layered kNN graph — the index "as of
     * before the batch" (VERDICT r5 wrong #1: hnsw_insert used to
-    * rebuild this inline on EVERY invocation, making the incremental
-    * operator cost the batch build plus the merge). Build-once via
-    * ProjIndex; the insert query loads it and pays only the delta
-    * joins. Level-l rows = exact kNN among initial members with
-    * lvl >= l, identical values to the inline form (Round5Spec's
-    * bit-equality against hnsw_layers stays the proof). */
+    * rebuild this inline on EVERY invocation). NO LONGER the exact
+    * N²-per-level build (r7 item 2 — a 100 TB first build of that form
+    * never finishes): the artifact derives from the N·k approximate
+    * layered substrate (approxLayers — the hnsw_layers_approx
+    * machinery restricted to initial members). Round5Spec pins the
+    * merge invariants that survive the approx initial lists (exact
+    * fresh half, no lost batch arrival, per-level recall floor);
+    * hnsw_layers remains the exact oracle-companion build. */
   def initialLayers(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.ProjIndex.ensureTable(s, dir, "hnsw_initial_layers_k4") {
-      val K = HnswQs.LevelK
+    graft.operators.ProjIndex.ensureTable(s, dir, "hnsw_initial_layers_approx_k4") {
       val emb = Tables.t(s, dir, "embeddings")
       val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
       val splitId = maxId * 8 / 10
-      val lv = emb.select(col("vec_id"), col("embedding"),
-          HnswQs.levelCol(col("vec_id")).as("lvl"))
-        .filter(col("vec_id") < splitId)
-      (0 to HnswQs.MaxLevel).map { l =>
-        val atLevel = lv.filter(col("lvl") >= l)
-          .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-        BruteForce.topkPlan(atLevel,
-            atLevel.select(col("bid").as("qid"), col("bv").as("qv")),
-            "l2", K, excludeSelf = true)
-          .select(lit(l).as("level"), col("qid").as("src"),
-            col("bid").as("dst"), col("score").as("dist"))
-      }.reduce(_.union(_))
+      approxLayers(s, dir, col("vec_id") < splitId)
+        .select(col("level"), col("src"), col("dst"), col("dist"))
     }
 
   /** Multi-layer incremental insert (reference add_item,
@@ -152,7 +143,15 @@ object HnswQs2 {
     * edge lists against only the arrivals that reached that layer
     * (bounded merge — k old + |batch_l| candidates — never a rebuild).
     * This is knn_insert lifted to the layered artifact: level-l output
-    * equals hnsw_layers' level-l graph maintained incrementally.
+    * is the level-l graph maintained incrementally over the APPROX
+    * initial index (initialLayers — no N² build anywhere on this
+    * query's artifact path, r7 item 2). The fresh half (new nodes'
+    * own lists) is exact by construction, so it still equals
+    * hnsw_layers' rows for those nodes bit-for-bit; existing nodes'
+    * merged lists are approx-initial ∪ exact-delta with the no-lost-
+    * arrival guarantee — Round5Spec pins all three invariants.
+    * Rows-only: the approx substrate is iterative (the exact build
+    * remains oracle'd as hnsw_layers, its documented companion).
     *
     * Scale shape: per layer one kNN-vs-batch join (batch broadcast) for
     * the merge side; only NEW nodes pay a full-layer scan, and higher
@@ -162,7 +161,7 @@ object HnswQs2 {
     // the merged index is written back versioned (ProjIndex) — an
     // insert both maintains and republishes the artifact; repeat runs
     // load it, first runs time the delta joins + merge
-    (s, dir) => graft.operators.ProjIndex.ensureTable(s, dir, "hnsw_postinsert_k4") {
+    (s, dir) => graft.operators.ProjIndex.ensureTable(s, dir, "hnsw_postinsert_approx_k4") {
       val K = HnswQs.LevelK
       val emb = Tables.t(s, dir, "embeddings")
       val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
@@ -202,50 +201,7 @@ object HnswQs2 {
           .select(lit(l).as("level"), col("src"), col("rnk"), col("dst"), col("dist"))
       }.reduce(_.union(_))
     }.orderBy(col("level"), col("src"), col("rnk")),
-    Some {
-      val K = HnswQs.LevelK
-      val l2 = s"sqrt(${Vec.sqlL2sq("a.v", "b.v")})"
-      val levels = (0 to HnswQs.MaxLevel).map { l =>
-        s"""
-        ex$l AS (SELECT src, dst, dist FROM (
-            SELECT a.vec_id AS src, b.vec_id AS dst, $l2 AS dist,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $l2, b.vec_id) AS r
-            FROM e a, e b, mx
-            WHERE a.lvl >= $l AND b.lvl >= $l
-              AND a.vec_id < mx.splitId AND b.vec_id < mx.splitId
-              AND a.vec_id <> b.vec_id) WHERE r <= $K),
-        dl$l AS (SELECT src, dst, dist FROM (
-            SELECT a.vec_id AS src, b.vec_id AS dst, $l2 AS dist,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $l2, b.vec_id) AS r
-            FROM e a, e b, mx
-            WHERE a.lvl >= $l AND b.lvl >= $l
-              AND a.vec_id < mx.splitId AND b.vec_id >= mx.splitId) WHERE r <= $K),
-        mg$l AS (SELECT $l AS level, src,
-                        CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS INT) AS rnk,
-                        dst, dist
-                 FROM (SELECT * FROM ex$l UNION ALL SELECT * FROM dl$l)),
-        fr$l AS (SELECT $l AS level, src,
-                        CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS INT) AS rnk,
-                        dst, dist
-                 FROM (SELECT a.vec_id AS src, b.vec_id AS dst, $l2 AS dist
-                       FROM e a, e b, mx
-                       WHERE a.lvl >= $l AND b.lvl >= $l
-                         AND a.vec_id >= mx.splitId AND a.vec_id <> b.vec_id))"""
-      }.mkString(",\n      ")
-      val sel = (0 to HnswQs.MaxLevel).map { l =>
-        s"""SELECT * FROM mg$l WHERE rnk <= $K
-            UNION ALL SELECT * FROM fr$l WHERE rnk <= $K"""
-      }.mkString(" UNION ALL ")
-      s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                        ${HnswQs.sqlLevel("vec_id")} AS lvl
-                 FROM embeddings),
-      mx AS (SELECT MAX(vec_id) * 8 // 10 AS splitId FROM e),
-      $levels
-      SELECT level, src, rnk, dst, dist FROM ($sel)
-      ORDER BY level, src, rnk
-      """
-    })
+    None)
 
   /** Persisted converged NN-Descent graph (knn_descent's output as a
     * build-once artifact): the N·k-bounded substrate the approximate
@@ -285,9 +241,18 @@ object HnswQs2 {
     * level so the union is dominated by level 0 at N·k² work. */
   val hnswLayersApprox = Q(
     "hnsw_layers_approx",
-    (s, dir) => {
+    (s, dir) => approxLayers(s, dir, lit(true)),
+    None)
+
+  /** The approximate layered build over a node subset — shared by
+    * hnsw_layers_approx (all ids), initialLayers (pre-split members)
+    * and HnswQs3.baseLayers (base side): every N²-per-level artifact
+    * build routes through this N·k substrate derivation (r7 item 2). */
+  private[graft] def approxLayers(s: org.apache.spark.sql.SparkSession, dir: String,
+      nodeFilter: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
       val K = HnswQs.LevelK
       val emb = Tables.t(s, dir, "embeddings")
+        .filter(nodeFilter)
         .select(col("vec_id"), col("embedding"), HnswQs.levelCol(col("vec_id")).as("lvl"))
       val n = emb.count()
       val g0 = descentGraph(s, dir).select(col("src"), col("dst")).localCheckpoint()
@@ -336,8 +301,7 @@ object HnswQs2 {
           .select(lit(l).as("level"), col("src"), col("rnk"), col("dst"), col("dist"))
       }.reduce(_.union(_))
         .orderBy(col("level"), col("src"), col("rnk"))
-    },
-    None)
+  }
 
   val qs: Seq[Q] = Seq(beamStepsToTarget, hnswInsert, hnswLayersApprox)
 }

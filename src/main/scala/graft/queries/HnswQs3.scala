@@ -23,22 +23,16 @@ object HnswQs3 {
 
   /** Persisted per-level kNN graphs over BASE nodes only (the search
     * index the trace walks: queries must not be graph members, unlike
-    * hnsw_layers' all-ids groundtruth artifact). Level-l rows = exact
-    * kNN (k=4, L2) among base nodes with lvl >= l. Build-once/load-many
-    * via ProjIndex — trace queries load, never rebuild. */
+    * hnsw_layers' all-ids groundtruth artifact). NO LONGER the exact
+    * N²-per-level build (r7 item 2): level-l rows derive from the N·k
+    * approximate layered substrate (HnswQs2.approxLayers restricted to
+    * base nodes — Round8 spec pins per-level edge recall vs the exact
+    * form). Build-once/load-many via ProjIndex — trace queries load,
+    * never rebuild. */
   def baseLayers(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProjIndex.ensureTable(s, dir, "hnsw_base_layers_k4") {
-      val emb = Tables.t(s, dir, "embeddings")
-        .filter(col("vec_id") % 50 =!= 0)
-        .select(col("vec_id"), col("embedding"), HnswQs.levelCol(col("vec_id")).as("lvl"))
-      (0 to HnswQs.MaxLevel).map { l =>
-        val nodes = emb.filter(col("lvl") >= l)
-          .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-        BruteForce.topkPlan(nodes,
-            nodes.select(col("bid").as("qid"), col("bv").as("qv")),
-            "l2", HnswQs.LevelK, excludeSelf = true)
-          .select(lit(l).as("level"), col("qid").as("src"), col("bid").as("dst"))
-      }.reduce(_.union(_))
+    graft.operators.ProjIndex.ensureTable(s, dir, "hnsw_base_layers_approx_k4") {
+      HnswQs2.approxLayers(s, dir, col("vec_id") % 50 =!= 0)
+        .select(col("level"), col("src"), col("dst"))
     }
 
   /** The per-query phase-split trace rows (shared by the trace query
@@ -49,11 +43,12 @@ object HnswQs3 {
     * read the dumps) — computing the identical 3-layer walk twice per
     * bench pass (trace + stats, ~5.5 s each at sf0.1) was the exact
     * inline-rederivation waste VERDICT r5 flagged on bridge_edges.
-    * The oracle re-derives the full walk, staleness-guarding the
-    * artifact; tag encodes the beam parameters. */
+    * Tag encodes the beam parameters and the approx substrate;
+    * staleness protection is the version/tag scheme (the walk itself
+    * is no longer SQL-re-derivable over the iterative substrate). */
   private[graft] def phaseTrace(s: SparkSession, dir: String): DataFrame =
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"hnsw_phase_trace_u${UpperEf}r${UpperRounds}_l0e${L0Ef}r$L0Rounds") {
+      s"hnsw_phase_trace_approx_u${UpperEf}r${UpperRounds}_l0e${L0Ef}r$L0Rounds") {
       phaseTraceBuild(s, dir)
     }
 
@@ -120,127 +115,29 @@ object HnswQs3 {
         Seq(col("l0_entry"), col("l0_steps"), col("l0_visited")): _*)
   }
 
-  // ---- oracle SQL (CTE unroll of the same walk) ----
-
-  /** beam rounds for layer prefix `l` over edge CTE ed$l, seeded by
-    * b${l}_0 — the graph_beam_search unroll with per-layer names. Every
-    * beam/expansion CTE is MATERIALIZED: this chain nests 3 layers ×
-    * 3 rounds and each beam is referenced 2-4 times, so DuckDB's
-    * default CTE inlining would expand the tree exponentially (the
-    * single-layer unrolls get away without it; this one exhausted the
-    * process's file handles re-scanning the parquet thousands of
-    * times). */
-  private def sqlLayerRounds(l: Int, ef: Int, rounds: Int): String =
-    (1 to rounds).map { r =>
-      s"""ex${l}_$r AS MATERIALIZED (SELECT DISTINCT b.qid, e.dst AS bid
-             FROM b${l}_${r - 1} b JOIN ed$l e ON e.src = b.bid),
-      sc${l}_$r AS (SELECT x.qid, x.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
-               FROM ex${l}_$r x JOIN qq q ON q.qid = x.qid JOIN bb v ON v.bid = x.bid),
-      un${l}_$r AS (SELECT DISTINCT qid, bid, dist FROM
-                 (SELECT qid, bid, dist FROM b${l}_${r - 1}
-                  UNION ALL SELECT qid, bid, dist FROM sc${l}_$r)),
-      b${l}_$r AS MATERIALIZED (SELECT qid, bid, dist FROM (
-                   SELECT qid, bid, dist,
-                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rn
-                   FROM un${l}_$r) WHERE rn <= $ef)"""
-    }.mkString(",\n      ")
-
-  /** hops + visited counters for an upper layer's trace. */
-  private def sqlLayerCounters(l: Int, rounds: Int): String = {
-    val hopRows = (0 until rounds).map { r =>
-      s"SELECT b.qid, $r AS r FROM b${l}_$r b JOIN b${l}_$rounds f ON f.qid = b.qid AND f.bid = b.bid"
-    } :+ s"SELECT qid, $rounds AS r FROM b${l}_$rounds"
-    val visRows = s"SELECT qid, bid FROM b${l}_0" +:
-      (1 to rounds).map(r => s"SELECT qid, bid FROM ex${l}_$r")
-    s"""h$l AS (SELECT u.qid, CAST(MIN(u.r) AS INT) AS hops FROM (
-           ${hopRows.mkString("\n           UNION ALL ")}) u GROUP BY u.qid),
-      v$l AS (SELECT qid, COUNT(DISTINCT bid) AS vis FROM (
-           ${visRows.mkString("\n           UNION ALL ")}) GROUP BY qid)"""
-  }
-
-  /** The whole trace as a WITH-chain; `finalSelect` picks the output. */
-  private def traceSql(finalSelect: String): String = {
-    val edges = (0 to HnswQs.MaxLevel).map { l =>
-      s"""ed$l AS MATERIALIZED (SELECT src, dst FROM (
-             SELECT a.bid AS src, b.bid AS dst,
-                    ROW_NUMBER() OVER (PARTITION BY a.bid
-                      ORDER BY sqrt(${Vec.sqlL2sq("a.v", "b.v")}), b.bid) AS rn
-             FROM bb a JOIN bb b ON a.bid <> b.bid AND a.lvl >= $l AND b.lvl >= $l)
-           WHERE rn <= ${HnswQs.LevelK})"""
-    }.mkString(",\n      ")
-    val upper = (HnswQs.MaxLevel to 1 by -1).map { l =>
-      val seed =
-        if (l == HnswQs.MaxLevel)
-          s"""b${l}_0 AS MATERIALIZED (SELECT q.qid, v.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
-                FROM qq q CROSS JOIN ep JOIN bb v ON v.bid = ep.ebid)"""
-        else
-          s"b${l}_0 AS MATERIALIZED (SELECT qid, bid, dist FROM b${l + 1}_$UpperRounds)"
-      s"""$seed,
-      ${sqlLayerRounds(l, UpperEf, UpperRounds)},
-      ${sqlLayerCounters(l, UpperRounds)}"""
-    }.mkString(",\n      ")
-    s"""
-      WITH lv AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
-                         ${HnswQs.sqlLevel("vec_id")} AS lvl
-                  FROM embeddings),
-      qq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM lv WHERE vec_id % 50 = 0),
-      bb AS MATERIALIZED (SELECT vec_id AS bid, v, lvl FROM lv WHERE vec_id % 50 <> 0),
-      $edges,
-      ep AS (SELECT src AS ebid FROM (
-               SELECT src, COUNT(*) AS d FROM ed${HnswQs.MaxLevel} GROUP BY src)
-             ORDER BY d DESC, src LIMIT 1),
-      $upper,
-      b0_0 AS MATERIALIZED (SELECT qid, bid, dist FROM b1_$UpperRounds),
-      ${sqlLayerRounds(0, L0Ef, L0Rounds)},
-      gt1 AS MATERIALIZED (SELECT qid, bid AS target FROM (
-                SELECT q.qid, b.bid,
-                       ROW_NUMBER() OVER (PARTITION BY q.qid
-                         ORDER BY sqrt(${Vec.sqlL2sq("q.qv", "b.v")}) ASC, b.bid) AS rn
-                FROM qq q CROSS JOIN bb b) WHERE rn = 1),
-      fnd AS (SELECT f.qid, MIN(f.r) AS fsteps FROM (
-                ${(0 to L0Rounds).map(r =>
-                  s"SELECT b.qid, $r AS r FROM b0_$r b JOIN gt1 g ON g.qid = b.qid AND g.target = b.bid")
-                  .mkString("\n                UNION ALL ")}) f
-              GROUP BY f.qid),
-      cf AS (SELECT qid, bid, MIN(r) AS fr FROM (
-               SELECT qid, bid, 0 AS r FROM b0_0
-               ${(1 to L0Rounds).map(r => s"UNION ALL SELECT qid, bid, $r AS r FROM ex0_$r")
-                 .mkString("\n               ")}) GROUP BY qid, bid),
-      st AS MATERIALIZED (SELECT g.qid, g.target, CAST(COALESCE(f.fsteps, -1) AS INT) AS l0_steps
-             FROM gt1 g LEFT JOIN fnd f ON f.qid = g.qid),
-      vis0 AS (SELECT s.qid, COUNT(*) AS visited
-              FROM st s JOIN cf ON cf.qid = s.qid
-                AND cf.fr <= CASE WHEN s.l0_steps >= 0 THEN s.l0_steps ELSE $L0Rounds END
-              GROUP BY s.qid),
-      trace AS MATERIALIZED (SELECT s.qid, s.target,
-                       ${(HnswQs.MaxLevel to 1 by -1).map(l =>
-                         s"h$l.hops AS l${l}_hops, v$l.vis AS l${l}_visited").mkString(", ")},
-                       e0.bid AS l0_entry, s.l0_steps, v0.visited AS l0_visited
-                FROM st s
-                ${(HnswQs.MaxLevel to 1 by -1).map(l =>
-                  s"JOIN h$l ON h$l.qid = s.qid JOIN v$l ON v$l.qid = s.qid").mkString("\n                ")}
-                JOIN b0_0 e0 ON e0.qid = s.qid
-                JOIN vis0 v0 ON v0.qid = s.qid)
-      $finalSelect
-    """
-  }
-
   /** Phase-split steps-to-target trace: per query, the upper-layer
     * greedy descent (hops to converge + nodes scored, per layer) and
     * the layer-0 refinement (first beam round containing the true NN,
     * nodes scored up to it) over the persisted base-layer index — the
     * reference's per-phase visited/hops instrument for diagnosing
-    * where out-of-distribution queries spend their search. */
+    * where out-of-distribution queries spend their search. Rows-only
+    * since the base-layer index became the approx substrate (r7 item
+    * 2 — its descent start is iterative, so the walk is no longer
+    * SQL-unrollable); PhaseTraceSpec pins the walk's legality and the
+    * Round8 spec pins the substrate's per-level recall vs the exact
+    * form. */
   val hnswPhaseTrace = Q(
     "hnsw_phase_trace",
     (s, dir) => phaseTrace(s, dir).orderBy(col("qid")),
-    Some(traceSql("SELECT * FROM trace ORDER BY qid")))
+    None)
 
   /** Cross-distribution trace statistics (the reference's stats
     * counters, hnsw_cosine_status_high.py:1195): one row summarizing
     * the phase traces — query/found counts, mean per-phase hops and
     * visited, mean steps over found queries. All averages are single
-    * divisions of exact integer sums (determinism rule). */
+    * divisions of exact integer sums (determinism rule); rows-only
+    * with hnsw_phase_trace, and PhaseTraceSpec proves the roll-up
+    * equals a driver-side aggregation of the trace rows. */
   val hnswTraceStats = Q(
     "hnsw_trace_stats",
     (s, dir) => phaseTrace(s, dir).agg(
@@ -252,15 +149,7 @@ object HnswQs3 {
         .as("avg_steps_found"),
       avg(col("l0_visited")).as("avg_l0_visited"),
       max(col("l0_steps")).as("max_l0_steps")),
-    Some(traceSql(s"""
-      SELECT COUNT(*) AS n_queries,
-             CAST(SUM(CASE WHEN l0_steps >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
-             CAST(AVG(l2_hops + l1_hops) AS DOUBLE) AS avg_upper_hops,
-             CAST(AVG(l2_visited + l1_visited) AS DOUBLE) AS avg_upper_visited,
-             CAST(COALESCE(AVG(CASE WHEN l0_steps >= 0 THEN l0_steps END), -1.0) AS DOUBLE) AS avg_steps_found,
-             CAST(AVG(l0_visited) AS DOUBLE) AS avg_l0_visited,
-             MAX(l0_steps) AS max_l0_steps
-      FROM trace""")))
+    None)
 
   // ---- quantizer-routed graph search (the 1M-proven configuration) ----
 

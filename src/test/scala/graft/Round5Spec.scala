@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Invariants of the round-5 operators (both are also oracle'd; these
-  * pin the algorithmic claims the oracle can't express). */
+/** Invariants of the round-5 operators (beam_steps_to_target is also
+  * oracle'd; hnsw_insert went rows-only with the approx initial index
+  * in round 8, so its merge contract is pinned entirely here). */
 class Round5Spec extends AnyFunSuite with SharedSpark {
 
   test("beam_steps_to_target: steps bounded, consistent with the final beam") {
@@ -32,14 +33,47 @@ class Round5Spec extends AnyFunSuite with SharedSpark {
     assert(maxVisEarly === 1L, "steps=0 means only the seed was scored")
   }
 
-  test("hnsw_insert: bounded incremental merge reproduces the batch build exactly") {
-    // top-K(initial) ∪ top-K(vs batch) ⊇ true top-K(initial ∪ batch),
-    // so the per-layer merge must equal hnsw_layers bit-for-bit — the
-    // add_item contract: incremental maintenance loses nothing
-    val ins = queries.HnswQs2.hnswInsert.fn(spark, sf)
-    val full = queries.HnswQs.hnswLayers.fn(spark, sf)
-    assert(ins.count() === full.count())
-    assert(ins.except(full).count() === 0 && full.except(ins).count() === 0,
-      "incremental layered graph differs from the batch build")
+  test("hnsw_insert: approx-initial merge keeps the exact-insert invariants") {
+    // with the N² initial build replaced by the approx substrate (r7
+    // item 2), three invariants survive and are pinned here:
+    //  1. the FRESH half (src >= splitId) is exact by construction —
+    //     those rows equal the exact batch build's rows bit-for-bit;
+    //  2. no batch arrival is lost: every exact-top-K edge from an
+    //     existing src to a batch dst beats at most K-1 others, so it
+    //     must appear in the merged list no matter how weak the approx
+    //     initial list is;
+    //  3. per-level edge recall vs the exact batch build stays above
+    //     the Round6 floor for the whole merged graph.
+    val ins = queries.HnswQs2.hnswInsert.fn(spark, sf).localCheckpoint()
+    val full = queries.HnswQs.hnswLayers.fn(spark, sf).localCheckpoint()
+    val maxId = Tables.t(spark, sf, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val splitId = maxId * 8 / 10
+
+    val insFresh = ins.filter(col("src") >= splitId)
+    val fullFresh = full.filter(col("src") >= splitId)
+    assert(insFresh.count() === fullFresh.count())
+    assert(insFresh.except(fullFresh).count() === 0 &&
+      fullFresh.except(insFresh).count() === 0,
+      "fresh nodes' lists must equal the exact batch build")
+
+    val mustKeep = full.filter(col("src") < splitId && col("dst") >= splitId)
+      .select(col("level"), col("src"), col("dst"))
+    assert(mustKeep.join(ins.select(col("level"), col("src"), col("dst")),
+      Seq("level", "src", "dst"), "left_anti").count() === 0,
+      "a batch arrival inside the true top-K was lost by the merge")
+
+    val perLevel = full.groupBy(col("level")).agg(count(lit(1)).as("n_exact"))
+      .join(full.select(col("level"), col("src"), col("dst"))
+        .join(ins.select(col("level"), col("src"), col("dst")), Seq("level", "src", "dst"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_hit")), Seq("level"))
+      .select(col("level"), (col("n_hit") / col("n_exact")).as("recall"))
+      .collect()
+    perLevel.foreach { r =>
+      val recall = r.getDouble(1)
+      info(f"level ${r.getInt(0)} merged-graph recall $recall%.3f vs exact batch build")
+      assert(recall >= 0.8,
+        s"level ${r.getInt(0)} merged recall $recall < 0.8 vs the exact batch build")
+    }
   }
 }
