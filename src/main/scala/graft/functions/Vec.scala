@@ -87,4 +87,26 @@ object Vec {
 
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / sqrt(${sqlNorm2(a)} * ${sqlNorm2(b)}))"
+
+  // ---- metric-general distance (r7 item 3) ----
+
+  /** Metric DISTANCE (smaller = closer) for the graph build/search
+    * operators: l2 → Euclidean; cosine/ip → NEGATED similarity. The
+    * negation (instead of 1−x) keeps the ordering identical to the
+    * similarity form with no extra float op — and no decimal literal
+    * for the oracle mirror to mis-type (lesson 15). */
+  def metricDist(metric: String)(a: Column, b: Column): Column = metric match {
+    case "l2" => l2Fast(a, b)
+    case "cosine" => -cosineFast(a, b)
+    case "ip" => -dotFast(a, b)
+    case other => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+
+  /** DuckDB mirror of metricDist — same folds, same negation. */
+  def sqlMetricDist(metric: String, a: String, b: String): String = metric match {
+    case "l2" => s"sqrt(${sqlL2sq(a, b)})"
+    case "cosine" => s"(-${sqlCosine(a, b)})"
+    case "ip" => s"(-${sqlDot(a, b)})"
+    case other => throw new IllegalArgumentException(s"unknown metric $other")
+  }
 }

@@ -40,8 +40,10 @@ object BeamSearch {
       base: DataFrame,
       seeds: DataFrame,
       ef: Int,
-      rounds: Int): DataFrame =
-    runImpl(edges, queries, base, seeds, ef, rounds, countVisited = false)._1
+      rounds: Int,
+      metric: String = "l2"): DataFrame =
+    runImpl(edges, queries, base, seeds, ef, rounds, countVisited = false,
+      metric = metric)._1
 
   /** Same search, additionally returning the TOTAL number of scored
     * candidate rows (seeds + per-round distinct expansions) — the
@@ -55,8 +57,10 @@ object BeamSearch {
       base: DataFrame,
       seeds: DataFrame,
       ef: Int,
-      rounds: Int): (DataFrame, Long) = {
-    val r = runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true)
+      rounds: Int,
+      metric: String = "l2"): (DataFrame, Long) = {
+    val r = runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true,
+      metric = metric)
     (r._1, r._2)
   }
 
@@ -126,11 +130,15 @@ object BeamSearch {
       ef: Int,
       rounds: Int,
       countVisited: Boolean,
-      keepStages: Boolean = false): (DataFrame, Long, Seq[(DataFrame, Long, Long)]) = {
+      keepStages: Boolean = false,
+      metric: String = "l2"): (DataFrame, Long, Seq[(DataFrame, Long, Long)]) = {
+    // dist = Vec.metricDist: l2 distance, or negated cosine/ip — the
+    // beam always minimizes, so one ordering rule serves all metrics
     val scoreOf: DataFrame => DataFrame = cand =>
       cand.join(base, Seq("bid"))
         .join(queries, Seq("qid"))
-        .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("dist"))
+        .select(col("qid"), col("bid"),
+          Vec.metricDist(metric)(col("qv"), col("bv")).as("dist"))
 
     var visited = 0L
     val t0 = System.nanoTime()

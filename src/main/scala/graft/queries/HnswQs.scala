@@ -561,15 +561,24 @@ object HnswQs {
     * Scale shape: one bounded BruteForce pass (|Q| bounded training
     * queries, broadcast) + per-query 48×48 member blocks + one
     * groupBy(src,dst) + one per-src window — Q×2304 small rows, never
-    * N². Build-once/load-many via ProjIndex. */
-  def richGraph(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProjIndex.ensureTable(s, dir, s"rich_proj_k${RichK}_m${RichM}_d$RichDeg") {
+    * N². Build-once/load-many via ProjIndex.
+    *
+    * METRIC-GENERAL (r7 item 3): `metric` ∈ {l2, cosine, ip} picks the
+    * training-list ranking and the edge weight (Vec.metricDist — for
+    * cosine/ip the weight is the negated similarity, so smaller stays
+    * closer and the one erk ordering serves all metrics). The
+    * reference's headline benchmark is IP-after-normalization
+    * (README_RoarGraph.md:45-47); each metric gets its own artifact. */
+  def richGraph(s: SparkSession, dir: String, metric: String = "l2"): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir,
+      s"rich_proj_k${RichK}_m${RichM}_d$RichDeg" +
+        (if (metric == "l2") "" else s"_$metric")) {
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val topk = BruteForce.topk(base, queries, "l2", RichK)
+      val topk = BruteForce.topk(base, queries, metric, RichK)
         .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         .localCheckpoint()
       val mem = topk.join(base, Seq("bid"))
@@ -578,7 +587,7 @@ object HnswQs {
         .join(mem.select(col("qid"), col("rnk").as("r2"), col("bid").as("cbid"), col("bv").as("v2")), Seq("qid"))
         .filter(col("r1") =!= col("r2"))
         .select(col("qid"), col("r1"), col("tbid"), col("cbid"),
-          Vec.l2Fast(col("v1"), col("v2")).as("d"))
+          Vec.metricDist(metric)(col("v1"), col("v2")).as("d"))
       val sel = pairs.withColumn("mrn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("qid"), col("r1")).orderBy(col("d"), col("cbid"))))
@@ -596,18 +605,19 @@ object HnswQs {
     }
 
   /** The rich-build CTE chain (ends at `rer`(src, dst, w, erk)) —
-    * shared by roar_rich_graph's oracle and the routed-search oracle
-    * (HnswQs3), which also staleness-guards the persisted artifact. */
-  private[queries] val sqlRichCtes: String = s"""
+    * shared by roar_rich_graph's oracle and the routed-search oracles
+    * (HnswQs3), which also staleness-guard the persisted artifacts.
+    * Metric-parameterized like the Spark build. */
+  private[queries] def sqlRichCtesFor(metric: String): String = s"""
       rq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       rb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
-      rsc AS (SELECT qid, bid, sqrt(${Vec.sqlL2sq("qv", "bv")}) AS dist FROM rb CROSS JOIN rq),
+      rsc AS (SELECT qid, bid, ${Vec.sqlMetricDist(metric, "qv", "bv")} AS dist FROM rb CROSS JOIN rq),
       rrr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, bid) AS INT) AS rnk
              FROM rsc),
       rtopk AS (SELECT qid, bid, rnk FROM rrr WHERE rnk <= $RichK),
       rmem AS MATERIALIZED (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM rtopk t JOIN rb e ON e.bid = t.bid),
       rpr AS (SELECT m1.qid, m1.rnk AS r1, m1.bid AS tbid, m2.bid AS cbid,
-                    sqrt(${Vec.sqlL2sq("m1.v", "m2.v")}) AS d
+                    ${Vec.sqlMetricDist(metric, "m1.v", "m2.v")} AS d
              FROM rmem m1 JOIN rmem m2 ON m1.qid = m2.qid AND m1.rnk <> m2.rnk),
       rsel AS (SELECT qid, r1, tbid, cbid, d FROM (
                 SELECT rpr.*, ROW_NUMBER() OVER (PARTITION BY qid, r1 ORDER BY d, cbid) AS mrn
@@ -619,6 +629,8 @@ object HnswQs {
       rer AS MATERIALIZED (SELECT src, dst, w,
                     CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY w, dst) AS INT) AS erk
              FROM rag)"""
+
+  private[queries] val sqlRichCtes: String = sqlRichCtesFor("l2")
 
   /** Catalog surface of the rich build — loads the artifact (building
     * on a miss) so repeat runs time a parquet read, exactly like

@@ -160,12 +160,13 @@ object HnswQs3 {
 
   /** Beam rounds over `proj` seeded by rbeam0 — MATERIALIZED like the
     * phase trace's (5 rounds × multi-reference would re-inline the
-    * whole rich-graph chain exponentially otherwise). */
-  private def sqlRoutedRounds(rounds: Int, ef: Int): String =
+    * whole rich-graph chain exponentially otherwise). Metric-
+    * parameterized with the Spark beam (dist = Vec.sqlMetricDist). */
+  private def sqlRoutedRounds(rounds: Int, ef: Int, metric: String): String =
     (1 to rounds).map { r =>
       s"""rex$r AS MATERIALIZED (SELECT DISTINCT b.qid, e.dst AS bid
              FROM rbeam${r - 1} b JOIN proj e ON e.src = b.bid),
-      rrs$r AS (SELECT x.qid, x.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+      rrs$r AS (SELECT x.qid, x.bid, ${Vec.sqlMetricDist(metric, "q.qv", "v.v")} AS dist
                FROM rex$r x JOIN qq q ON q.qid = x.qid JOIN bb v ON v.bid = x.bid),
       rrun$r AS (SELECT DISTINCT qid, bid, dist FROM
                  (SELECT qid, bid, dist FROM rbeam${r - 1}
@@ -191,10 +192,15 @@ object HnswQs3 {
     * part of the index, not the query — build-once/load-many like the
     * graph and quantizer it derives from (warmed by Bench alongside
     * them). */
-  private[graft] def routedAnchors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def routedAnchors(s: SparkSession, dir: String,
+      metric: String = "l2"): DataFrame =
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_anchor_members_deg$RoutedDeg") {
-      val edges = HnswQs.richGraph(s, dir).filter(col("erk") <= RoutedDeg)
+      s"routed_anchor_members_deg$RoutedDeg" +
+        (if (metric == "l2") "" else s"_$metric")) {
+      // membership comes from the METRIC's graph (an anchor outside it
+      // scores but never expands); the cell→member mapping itself stays
+      // L2 — it mirrors the quantizer's own geometry
+      val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
       val members = edges.select(col("src")).distinct()
       val base = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
@@ -207,32 +213,65 @@ object HnswQs3 {
         .select(col("bid")).distinct()
     }
 
-  val graphRoutedSearch = Q(
-    "graph_routed_search",
-    (s, dir) => {
-      val edges = HnswQs.richGraph(s, dir).filter(col("erk") <= RoutedDeg)
-        .select(col("src"), col("dst")).localCheckpoint()
-      val emb = Tables.t(s, dir, "embeddings")
-      val base = emb.filter(col("vec_id") % 50 =!= 0)
-        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .orderBy(col("d").desc, col("src")).head().getLong(0)
-      val anchors = routedAnchors(s, dir)
-      val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-        .union(graft.operators.TopK.perGroup(
-          queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
-            .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
-          "qid", "bid", "d", RoutedEntries, asc = true)
-          .select(col("qid"), col("bid")))
-        .distinct()
-      BeamSearch.runFromSeeds(edges, queries, base, seeds, RoutedEf, RoutedRounds)
-        .filter(col("rnk") <= 10)
-        .orderBy(col("qid"), col("rnk"))
-    },
-    Some(s"""
-      WITH ${HnswQs.sqlRichCtes},
+  /** The routed search, metric-general (r7 item 3): edges, seed
+    * ranking and the beam all score with `metric` (dist =
+    * Vec.metricDist — negated similarity for cosine/ip). Counted
+    * variant feeds the sweep's visited column. */
+  private[graft] def routedSearchCounted(s: SparkSession, dir: String,
+      metric: String): (DataFrame, Long) = {
+    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).head().getLong(0)
+    val anchors = routedAnchors(s, dir, metric)
+    val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
+      .union(graft.operators.TopK.perGroup(
+        queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
+          .select(col("qid"), col("bid"),
+            Vec.metricDist(metric)(col("qv"), col("bv")).as("d")),
+        "qid", "bid", "d", RoutedEntries, asc = true)
+        .select(col("qid"), col("bid")))
+      .distinct()
+    val (res, visited) = BeamSearch.runFromSeedsCounted(
+      edges, queries, base, seeds, RoutedEf, RoutedRounds, metric)
+    (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited)
+  }
+
+  private def routedSearch(s: SparkSession, dir: String, metric: String): DataFrame = {
+    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).head().getLong(0)
+    val anchors = routedAnchors(s, dir, metric)
+    val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
+      .union(graft.operators.TopK.perGroup(
+        queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
+          .select(col("qid"), col("bid"),
+            Vec.metricDist(metric)(col("qv"), col("bv")).as("d")),
+        "qid", "bid", "d", RoutedEntries, asc = true)
+        .select(col("qid"), col("bid")))
+      .distinct()
+    BeamSearch.runFromSeeds(edges, queries, base, seeds, RoutedEf, RoutedRounds, metric)
+      .filter(col("rnk") <= 10)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The oracle: rich chain + sized quantizer + unrolled beam, all in
+    * the query's metric (the quantizer cell→member mapping stays L2 in
+    * BOTH engines — it mirrors the k-means geometry, not the query
+    * metric). */
+  private def routedSql(metric: String): String = s"""
+      WITH ${HnswQs.sqlRichCtesFor(metric)},
       ${SqlIvf.sizedCtes("vec_id % 50 <> 0", 2, "s")},
       proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= $RoutedDeg),
       qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
@@ -251,20 +290,38 @@ object HnswQs3 {
       sd3 AS (SELECT qid, bid FROM (
                 SELECT q.qid, a.bid,
                        ROW_NUMBER() OVER (PARTITION BY q.qid
-                         ORDER BY sqrt(${Vec.sqlL2sq("q.qv", "b.v")}), a.bid) AS rn
+                         ORDER BY ${Vec.sqlMetricDist(metric, "q.qv", "b.v")}, a.bid) AS rn
                 FROM qq q CROSS JOIN anch a JOIN bb b ON b.bid = a.bid) WHERE rn <= $RoutedEntries),
       seeds AS (SELECT DISTINCT qid, bid FROM (
                   SELECT qid, ebid AS bid FROM qq CROSS JOIN hub
                   UNION ALL SELECT qid, bid FROM sd3)),
-      rbeam0 AS MATERIALIZED (SELECT s.qid, s.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+      rbeam0 AS MATERIALIZED (SELECT s.qid, s.bid, ${Vec.sqlMetricDist(metric, "q.qv", "v.v")} AS dist
                 FROM seeds s JOIN qq q ON q.qid = s.qid JOIN bb v ON v.bid = s.bid),
-      ${sqlRoutedRounds(RoutedRounds, RoutedEf)}
+      ${sqlRoutedRounds(RoutedRounds, RoutedEf, metric)}
       SELECT qid, rnk, bid, dist FROM (
         SELECT qid, bid, dist,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk
         FROM rbeam$RoutedRounds) WHERE rnk <= 10
       ORDER BY qid, rnk
-    """))
+    """
 
-  val qs: Seq[Q] = Seq(hnswPhaseTrace, hnswTraceStats, graphRoutedSearch)
+  val graphRoutedSearch = Q(
+    "graph_routed_search",
+    (s, dir) => routedSearch(s, dir, "l2"),
+    Some(routedSql("l2")))
+
+  /** The same operating point on the reference's HEADLINE metric —
+    * inner product (README_RoarGraph.md:45-47 benches IP after
+    * normalization): IP rich graph, IP seed ranking, IP beam; `dist`
+    * is the negated inner product (smaller = closer), hash-exact
+    * against the metric-parameterized oracle. Round8Spec pins
+    * recall@10 ≥ 0.9 vs the exact IP groundtruth; the sweep's
+    * routed_ip row reports the measured operating point. */
+  val graphRoutedSearchIp = Q(
+    "graph_routed_search_ip",
+    (s, dir) => routedSearch(s, dir, "ip"),
+    Some(routedSql("ip")))
+
+  val qs: Seq[Q] = Seq(hnswPhaseTrace, hnswTraceStats, graphRoutedSearch,
+    graphRoutedSearchIp)
 }
