@@ -110,14 +110,20 @@ object ScaleRun {
     out += "build_rich_graph_sec" -> tRich
     val (_, tAnchor) = time { graft.queries.HnswQs.anchorIvf(spark, dir); () }
     out += "build_anchor_sec" -> tAnchor
-    lazy val ivf256 = {
-      val (r, tIvf256) = time {
-        graft.operators.ProjIndex.ensureIvf(spark, dir, "scale", 256, 2) {
-          val c = Ivf.centroids(base.select(col("bid").as("vec_id"), col("bv").as("embedding")), 256, 2)
-          (c, Ivf.assign(base.select(col("bid").as("vec_id"), col("bv").as("embedding")), c))
+    // scale quantizer: DATA-SIZED like the catalog (Ivf.cellsFor — 256
+    // at 1M, 1024 at 10M) and trained on the strided sample
+    // (Ivf.sizedBuild) so the Lloyd rounds never scan N×cells; only
+    // the one final assignment pass touches the full corpus
+    val scaleCells = Ivf.cellsFor(nBase)
+    lazy val ivfScale = {
+      val (r, tIvfScale) = time {
+        graft.operators.ProjIndex.ensureIvf(spark, dir, "scale", scaleCells, 2) {
+          val (c, a, _) = Ivf.sizedBuild(
+            base.select(col("bid").as("vec_id"), col("bv").as("embedding")), 2)
+          (c, a)
         }
       }
-      out += "build_ivf256_sec" -> tIvf256
+      out += s"build_ivf${scaleCells}_sec" -> tIvfScale
       r
     }
     if (!graphOnly) {
@@ -130,7 +136,7 @@ object ScaleRun {
       // scale-appropriate quantizer: cells ~ sqrt-ish of N (the
       // catalog's 16-cell build is sf-tuned; at 1M a probe must not
       // scan 25% of the base). Same operator, bigger k — identical plan.
-      ivf256
+      ivfScale
       val (_, tPq) = time { graft.queries.VectorQs3.pqIndex(spark, dir); () }
       out += "build_pq_sec" -> tPq
     }
@@ -168,12 +174,12 @@ object ScaleRun {
 
     // scale quantizer searches: same Ivf.search plan, 256 cells
     Seq(4, 16).foreach { np =>
-      val (c256, a256) = ivf256
-      val r = bench(s"ivf256_np$np") {
+      val (c256, a256) = ivfScale
+      val r = bench(s"ivf${scaleCells}_np$np") {
         Ivf.search(a256, c256, queries, nprobe = np, k = 10)
           .select(col("qid"), col("bid"))
       }
-      out += s"ivf256_np${np}_recall" -> recallOf(r)
+      out += s"ivf${scaleCells}_np${np}_recall" -> recallOf(r)
     }
     }
 
@@ -216,7 +222,7 @@ object ScaleRun {
       // GRAPH MEMBERS, and let rounds grow with the graph diameter.
       val graphNodes = rich.select(col("src")).distinct()
       val memberBase = base.join(graphNodes, col("bid") === col("src"), "left_semi")
-      val (c256s, _) = ivf256
+      val (c256s, _) = ivfScale
       val aN256 = BruteForce.topk(
         memberBase,
         c256s.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),

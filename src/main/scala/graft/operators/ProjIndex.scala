@@ -18,8 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ProjIndex {
 
-  /** bump on any change to the projection build semantics */
-  private val Version = "v2"
+  /** bump on any change to ANY artifact build semantics — v3: the r8
+    * data-sized quantizer builds train on a stride-sampled subset
+    * (Ivf.sizedBuild), and the ivf/pq paths encode only (tag, k,
+    * iters), so a pre-stride artifact at the same (k, iters) would
+    * silently alias the new build at corpus sizes where the derived k
+    * matches but stride > 1. */
+  private val Version = "v3"
 
   def graphPath(dir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")

@@ -230,9 +230,11 @@ object HnswQs {
     * avg_visited, hops, wall_ms, qps — the reference CSV's columns.
     * Methods: IVF (param = nprobe ∈ {1,2,4}, hops = 0), adaptive
     * nprobe (param = α×100, the ivf_search_adaptive rule over the same
-    * scored candidates), and beam search over the PERSISTED projection
+    * scored candidates), beam search over the PERSISTED projection
     * graph (param = rounds ∈ {1,2,3}, hops = rounds) — search-only,
-    * the index loads from ProjIndex.
+    * the index loads from ProjIndex — and routed_ip, the
+    * graph_routed_search_ip operating point on the reference's
+    * headline inner-product metric scored vs exact IP groundtruth.
     * wall_ms/qps time the search actions on the driver, so they vary
     * run to run (the one nondeterministic output in the catalog —
     * inherent to reporting latency; every other column is exact). */
@@ -376,7 +378,24 @@ object HnswQs {
         val hits = top.join(gt, Seq("qid", "bid")).count()
         ("wide", wideEf, hits / nGt, visitedTotal / nQ, 5, wallMs, nQ / (wallMs / 1000.0))
       }
-      (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows)
+      // routed operating point on the reference's HEADLINE metric —
+      // inner product after normalization (README_RoarGraph.md:45-47):
+      // graph_routed_search_ip's exact machinery (IP rich graph + IP
+      // anchor seeds + wide IP beam), counted, scored against the exact
+      // IP groundtruth — param = ef, hops = beam rounds
+      val gtIp = VectorQs.gtTopk(s, dir, "ip").select(col("qid"), col("bid"))
+        .localCheckpoint()
+      val nGtIp = gtIp.count().toDouble
+      val routedRows = Seq("ip").map { m =>
+        val t0 = System.nanoTime()
+        val (res, visitedTotal) = HnswQs3.routedSearchCounted(s, dir, m)
+        val top = res.select(col("qid"), col("bid")).localCheckpoint()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val hits = top.join(gtIp, Seq("qid", "bid")).count()
+        (s"routed_$m", HnswQs3.RoutedEf, hits / nGtIp, visitedTotal / nQ,
+          HnswQs3.RoutedRounds, wallMs, nQ / (wallMs / 1000.0))
+      }
+      (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
         .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms", "qps")
         .orderBy(col("method"), col("param"))
     },
@@ -541,7 +560,7 @@ object HnswQs {
 
   private[queries] val RichK = 48 // query-kNN list length (reference trains on ~100-NN lists)
   private[queries] val RichM = 16 // neighbors kept per list member (M_pjbp-scale, roargraph_python.py:177)
-  private[queries] val RichDeg = 48 // stored per-source degree cap; search picks erk <= D <= RichDeg
+  private[graft] val RichDeg = 48 // stored per-source degree cap; search picks erk <= D <= RichDeg
 
   /** High-recall projection graph (VERDICT r5 item 1): the round-2
     * roar_projection_graph tops out at recall 0.49 because it is
@@ -569,16 +588,17 @@ object HnswQs {
     * closer and the one erk ordering serves all metrics). The
     * reference's headline benchmark is IP-after-normalization
     * (README_RoarGraph.md:45-47); each metric gets its own artifact. */
-  def richGraph(s: SparkSession, dir: String, metric: String = "l2"): DataFrame =
+  def richGraph(s: SparkSession, dir: String, metric: String = "l2",
+      k: Int = RichK): DataFrame =
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"rich_proj_k${RichK}_m${RichM}_d$RichDeg" +
+      s"rich_proj_k${k}_m${RichM}_d$RichDeg" +
         (if (metric == "l2") "" else s"_$metric")) {
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val topk = BruteForce.topk(base, queries, metric, RichK)
+      val topk = BruteForce.topk(base, queries, metric, k)
         .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         .localCheckpoint()
       val mem = topk.join(base, Seq("bid"))

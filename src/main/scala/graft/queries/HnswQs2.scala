@@ -223,11 +223,14 @@ object HnswQs2 {
     * NN-Descent graph (global k=10 lists), and per level l
     *   1. keep the in-level survivors (both endpoints at lvl ≥ l — the
     *      verdict's "filter by the md5 level column"),
-    *   2. add 2·4^l deterministic pseudo-random in-level links per node
-    *      (md5(l,src,j) mod N, semi-joined to the level — upper levels
-    *      keep 1/4^l of nodes, so the survivor lists thin out exactly
-    *      when these draws re-densify them; random long-range links are
-    *      what give descent its mixing, lesson 17),
+    *   2. add ~6 deterministic pseudo-random in-level links per node:
+    *      md5(l,src,j) mod n_l drawn over a DENSE RANK of the level's
+    *      members (sorted zipWithIndex rank → id), so every draw lands
+    *      on a member and every member is equally likely — drawing
+    *      pmod by a count over the raw non-contiguous id space
+    *      systematically starved high-id nodes of in-links (r8 advice);
+    *      random long-range links are what give descent its mixing
+    *      (lesson 17),
     *   3. run 2 fixed neighbors-of-neighbors rounds WITHIN the level
     *      over an 8-wide pool, then cut to the exact build's K=4.
     * Output schema = hnsw_layers (level, src, rnk, dst, dist); rows-only
@@ -254,8 +257,8 @@ object HnswQs2 {
       val emb = Tables.t(s, dir, "embeddings")
         .filter(nodeFilter)
         .select(col("vec_id"), col("embedding"), HnswQs.levelCol(col("vec_id")).as("lvl"))
-      val n = emb.count()
       val g0 = descentGraph(s, dir).select(col("src"), col("dst")).localCheckpoint()
+      import s.implicits._
       (0 to HnswQs.MaxLevel).map { l =>
         val nodes = emb.filter(col("lvl") >= l)
           .select(col("vec_id").as("bid"), col("embedding").as("bv"))
@@ -264,18 +267,26 @@ object HnswQs2 {
           .join(ids.select(col("bid").as("src")), Seq("src"), "left_semi")
           .join(ids.select(col("bid").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
-        // ~6 expected in-level survivors per node: enough that every
-        // node (even one whose global descent list has no same-level
-        // member) seeds a full K=4 pool and the NoN rounds can mix
-        // across components — 2·4^l left level-2 nodes 8 edges short
-        val draws = 6 * math.pow(4, l).toInt
+        // ~6 random in-level links per node: enough that every node
+        // (even one whose global descent list has no same-level member)
+        // seeds a full K=4 pool and the NoN rounds can mix across
+        // components. Draws address a DENSE RANK of the level's member
+        // set (global-sort zipWithIndex — index = sort rank at any
+        // partition count), not the raw id space: member ids are not
+        // contiguous, so pmod by the member COUNT can never reach the
+        // highest ids and wastes draws on non-members (r8 advice #3).
+        val rankTbl = ids.orderBy(col("bid")).rdd.map(_.getLong(0))
+          .zipWithIndex.map { case (bid, i) => (i, bid) }.toDF("rk", "dst")
+          .localCheckpoint()
+        val nL = rankTbl.count()
+        val draws = 6
         val rand = ids
           .select(col("bid").as("src"), explode(sequence(lit(1), lit(draws))).as("j"))
           .select(col("src"),
             pmod(conv(substring(md5(concat_ws("-", lit(l), col("src"), col("j"))), 1, 15), 16, 10)
-              .cast("long"), lit(n)).as("dst"))
+              .cast("long"), lit(nL)).as("rk"))
+          .join(rankTbl, Seq("rk"))
           .filter(col("src") =!= col("dst"))
-          .join(ids.select(col("bid").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
         def rescore(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = e
           .join(nodes.select(col("bid").as("src"), col("bv").as("sv")), Seq("src"))

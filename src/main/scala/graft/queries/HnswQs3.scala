@@ -154,8 +154,8 @@ object HnswQs3 {
   // ---- quantizer-routed graph search (the 1M-proven configuration) ----
 
   private val RoutedDeg = 32
-  private val RoutedEf = 16
-  private val RoutedRounds = 5
+  private[graft] val RoutedEf = 16
+  private[graft] val RoutedRounds = 5
   private val RoutedEntries = 3
 
   /** Beam rounds over `proj` seeded by rbeam0 — MATERIALIZED like the

@@ -24,9 +24,10 @@ object Docs {
 
   // ---- streaming MinHash-LSH near-dup candidate mining ----
 
-  /** One doc's residence in one LSH bucket. */
+  /** One doc's residence in one LSH bucket (ts = the doc's event time,
+    * driving the bucket's retention timeout). */
   case class BandRow(band: Int, k0: Long, k1: Long, k2: Long,
-      doc_id: Long, sig: Seq[Long])
+      doc_id: Long, sig: Seq[Long], ts: java.sql.Timestamp)
   case class BucketDoc(doc_id: Long, sig: Seq[Long])
   case class BucketState(docs: List[BucketDoc])
   case class CandPair(a: Long, b: Long, band: Int)
@@ -83,15 +84,22 @@ object Docs {
     *
     * Scale contract: state per bucket is a capped member list (the
     * batch 20k bucket ceiling, same deterministic first-by-doc_id
-    * keep); docs with no shingles (< 3 words) never band. Production
-    * would add an event-time timeout to bound retention — candidates
-    * then mean "near-dup within the retention window", which is the
+    * keep); docs with no shingles (< 3 words) never band. Retention is
+    * BOUNDED by an event-time timeout (r6/r7 item: unbounded state on
+    * an unbounded stream): the input must carry an event-time `ts`
+    * column; a bucket idle past `retentionMs` (no arrival advancing
+    * its max event time) is evicted when the watermark passes, so
+    * candidates mean "near-dup within the retention window" — the
     * streaming dedup contract (dropDuplicatesWithinWatermark's form).
+    * StreamingStateTimeoutSpec proves both eviction and the
+    * within-window pairing.
     * The sig projection crosses an encoder boundary BEFORE banding:
     * with no cache in a stream, CollapseProject would otherwise
     * inline the whole shingle→md5→min chain into every band
     * expression (the batch lesson, DedupQs.sigTable). */
-  def minhashCandidates(stream: DataFrame, bucketCap: Int = 20000): Dataset[CandPair] = {
+  def minhashCandidates(stream: DataFrame, bucketCap: Int = 20000,
+      retentionMs: Long = 30L * 60 * 1000,
+      lateness: String = "0 seconds"): Dataset[CandPair] = {
     val spark = stream.sparkSession
     import spark.implicits._
     val nH = 9
@@ -105,22 +113,35 @@ object Docs {
     val sig = transform(sequence(lit(0), lit(nH - 1)), j =>
       array_min(transform(col("hs"), h =>
         (element_at(aLit, j + 1) * h + element_at(bLit, j + 1)) % lit(TextFns.MinhashP))))
-    val sigDs = stream.select(col("doc_id"), hs.as("hs"))
+    val sigDs = stream
+      .select(col("doc_id"), col("ts"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
-      .as[(Long, Seq[Long])]
-    val banded = sigDs.flatMap { case (id, s) =>
-      (0 until bands).map(b => BandRow(b, s(3 * b), s(3 * b + 1), s(3 * b + 2), id, s))
-    }
+      .select(col("doc_id"), sig.as("sig"), col("ts"))
+      .as[(Long, Seq[Long], java.sql.Timestamp)]
+    // the watermark is declared AFTER the encoder boundary: a typed
+    // flatMap re-serializes ts as a fresh attribute without the
+    // event-time tag, and the stateful operator's timeout check needs
+    // the tagged column on ITS child
+    val banded = sigDs.flatMap { case (id, s, t) =>
+      (0 until bands).map(b => BandRow(b, s(3 * b), s(3 * b + 1), s(3 * b + 2), id, s, t))
+    }.withWatermark("ts", lateness)
     banded
       .groupByKey(r => (r.band, r.k0, r.k1, r.k2))
       .flatMapGroupsWithState[BucketState, CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((band, _, _, _), rows, state) =>
+          if (state.hasTimedOut) {
+            // bucket idle past retention: evict. Later arrivals restart
+            // the bucket empty — pairs span only the retention window.
+            state.remove()
+            Iterator.empty
+          } else {
           var members = state.getOption.map(_.docs).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          var maxEventMs = Long.MinValue
           // deterministic arrival order within the micro-batch
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            maxEventMs = math.max(maxEventMs, r.ts.getTime)
             if (!members.exists(_.doc_id == r.doc_id) && members.size < bucketCap) {
               val rd = BucketDoc(r.doc_id, r.sig)
               members.foreach { m =>
@@ -142,7 +163,13 @@ object Docs {
             }
           }
           state.update(BucketState(members))
+          // evict when the watermark passes the bucket's last arrival +
+          // retention; clamp above the current watermark (Spark rejects
+          // a timeout at-or-before it — e.g. a fully-late micro-batch)
+          state.setTimeoutTimestamp(
+            math.max(maxEventMs + retentionMs, state.getCurrentWatermarkMs() + 1))
           out.iterator
+          }
       }
   }
 }

@@ -30,11 +30,15 @@ object VectorIngest {
     // state store.
     val centArr = cents
       .agg(collect_list(struct(col("cid").as("cid"), col("cv").as("cv"))).as("cs"))
+    // withColumn + drop (not a positional select): every input column —
+    // including an event-time ts driving a downstream timeout — passes
+    // through with its metadata intact
     stream.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("embedding"),
+      .withColumn("cid",
         array_min(transform(col("cs"), c =>
           struct(Vec.l2sqFast(col("embedding"), c.getField("cv")).as("d2"),
-            c.getField("cid").as("cid")))).getField("cid").as("cid"))
+            c.getField("cid").as("cid")))).getField("cid"))
+      .drop("cs")
   }
 
   // ---- online SemDeDup ----
@@ -61,23 +65,38 @@ object VectorIngest {
     * SUBSET of the batch answer and remains arrival-order-dependent.
     * State per cell is
     * a capped list — the cell-size knob is k, as in batch. The cosine
-    * is the VecCosine fold exactly (floats widened per element). */
+    * is the VecCosine fold exactly (floats widened per element).
+    *
+    * Retention is BOUNDED by an event-time timeout (r6/r7 item): the
+    * input must carry an event-time `ts` column; a cell idle past
+    * `retentionMs` is evicted when the watermark passes, so a drop
+    * means "semantic duplicate of a resident within the retention
+    * window" — residents older than the window no longer witness.
+    * StreamingStateTimeoutSpec proves eviction. */
   def semanticDedupStream(
       stream: DataFrame,
       cents: DataFrame,
       tau: Double,
-      cellCap: Int = 100000): Dataset[SemDrop] = {
+      cellCap: Int = 100000,
+      retentionMs: Long = 30L * 60 * 1000,
+      lateness: String = "0 seconds"): Dataset[SemDrop] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    assignCells(stream, cents)
-      .select(col("cid").cast("long"), col("vec_id"), col("embedding"))
-      .as[(Long, Long, Seq[Float])]
+    assignCells(stream.withWatermark("ts", lateness), cents)
+      .select(col("cid").cast("long"), col("vec_id"), col("embedding"), col("ts"))
+      .as[(Long, Long, Seq[Float], java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[CellState, SemDrop](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (cid, rows, state) =>
+          if (state.hasTimedOut) {
+            // cell idle past retention: evict all residents
+            state.remove()
+            Iterator.empty
+          } else {
           var members = state.getOption.map(_.members).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[SemDrop]
+          var maxEventMs = Long.MinValue
           def cos(a: Seq[Float], b: Seq[Float]): Double = {
             val n = math.min(a.length, b.length)
             var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -87,7 +106,8 @@ object VectorIngest {
             }
             dot / math.sqrt(na * nb)
           }
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, emb) =>
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, emb, t) =>
+            maxEventMs = math.max(maxEventMs, t.getTime)
             if (!members.exists(_.vec_id == id) && members.size < cellCap) {
               var keep = -1L
               var keepCos = 0.0
@@ -102,7 +122,10 @@ object VectorIngest {
             }
           }
           state.update(CellState(members))
+          state.setTimeoutTimestamp(
+            math.max(maxEventMs + retentionMs, state.getCurrentWatermarkMs() + 1))
           out.iterator
+          }
       }
   }
 }

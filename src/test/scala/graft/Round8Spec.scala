@@ -49,6 +49,16 @@ class Round8Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("graph_routed_search_ip recall@10 >= 0.9 vs exact IP groundtruth") {
+    val res = queries.HnswQs3.graphRoutedSearchIp.fn(spark, sf)
+      .select(col("qid"), col("bid"))
+    val gt = queries.VectorQs.gtTopk(spark, sf, "ip")
+      .select(col("qid"), col("bid")).localCheckpoint()
+    val recall = res.join(gt, Seq("qid", "bid")).count().toDouble / gt.count()
+    info(f"routed IP recall@10 $recall%.3f vs exact")
+    assert(recall >= 0.9, s"routed IP recall $recall < 0.9")
+  }
+
   test("initialLayers (approx, pre-split) recovers >= 0.8 of the exact build per level") {
     val maxId = Tables.t(spark, sf, "embeddings")
       .agg(max(col("vec_id"))).head().getLong(0)

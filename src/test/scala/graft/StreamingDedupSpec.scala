@@ -60,15 +60,17 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.nonEmpty, "corpus has no banded candidates — spec is vacuous")
 
-    val input = MemoryStream[(Long, String)]
-    val q = streaming.Docs.minhashCandidates(input.toDF().toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = streaming.Docs.minhashCandidates(input.toDF().toDF("doc_id", "text", "ts"))
       .writeStream.format("memory").queryName("mh_cand").outputMode("append").start()
     try {
-      // split so candidate pairs straddle the micro-batch boundary
+      // split so candidate pairs straddle the micro-batch boundary;
+      // constant event time keeps every bucket inside the retention
+      // window (eviction itself is StreamingStateTimeoutSpec's subject)
       val (b1, b2) = docs.partition(_._1 % 2 == 0)
-      input.addData(b1.toIndexedSeq)
+      input.addData(b1.toIndexedSeq.map(d => (d._1, d._2, ts(1))))
       q.processAllAvailable()
-      input.addData(b2.toIndexedSeq)
+      input.addData(b2.toIndexedSeq.map(d => (d._1, d._2, ts(2))))
       q.processAllAvailable()
       val got = spark.table("mh_cand").select(col("a"), col("b"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -53,18 +53,23 @@ class VectorIngestSpec extends AnyFunSuite with SharedSpark {
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"))
       .as[(Long, Array[Float])].collect()
-    val input = MemoryStream[(Long, Array[Float])]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
     val q = streaming.VectorIngest.semanticDedupStream(
-        input.toDF().toDF("vec_id", "embedding"), cents, tau = 0.45)
+        input.toDF().toDF("vec_id", "embedding", "ts"), cents, tau = 0.45)
       .writeStream.format("memory").queryName("sem_out").outputMode("append").start()
     try {
       // ascending ids split across micro-batches: arrival order ==
       // id order, so residency == "smaller id" and the streamed drops
-      // must match the batch pair semantics exactly
+      // must match the batch pair semantics exactly. Event time
+      // ADVANCES batch to batch (rows at-or-behind the watermark are
+      // filtered as late) but stays inside the retention window
+      // (eviction is StreamingStateTimeoutSpec's subject).
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:02:00")
       val (b1, b2) = all.splitAt(all.length / 2)
-      input.addData(b1.toIndexedSeq)
+      input.addData(b1.toIndexedSeq.map(v => (v._1, v._2, t0)))
       q.processAllAvailable()
-      input.addData(b2.toIndexedSeq)
+      input.addData(b2.toIndexedSeq.map(v => (v._1, v._2, t1)))
       q.processAllAvailable()
       val got = spark.table("sem_out")
         .select(col("cid"), col("drop_vid"), col("keep_vid"), col("cos"))
