@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -161,6 +161,101 @@ case class VecScaledL2(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s2: Expression, t: Expression): Expression =
     copy(first = f, second = s2, third = t)
+}
+
+/** Nearest-centroid id over a driver-collected bank: one fused pass
+  * per row, no generated rows. The crossJoin(broadcast(cents)) +
+  * min(struct(d2, cid)) assignment shape materializes N·k rows and its
+  * aggregation falls back to a sort at large k — at 10M×1024 cells that
+  * sort spilled a 10-billion-row run to disk until it filled (the round-9
+  * scale-run failure). This kernel keeps assignment a map-only scan at
+  * any k.
+  *
+  * Bit-identical to min(struct(VecL2Sq(emb, cv), cid)) by construction:
+  * each d2 is the same float-widened left fold in element order;
+  * candidates are visited in ascending-cid order with a strict
+  * Double.compare update, so exact d2 ties keep the smallest cid and
+  * NaN orders largest — the lexicographic struct-min contract.
+  *
+  * The bank rides the expression into the stage's task binary, which
+  * Spark broadcasts once per stage — same shipping cost as the
+  * broadcast join it replaces, minus the join. */
+case class VecNearestCid(child: Expression, cids: Array[Long], bank: Array[Array[Double]])
+    extends UnaryExpression {
+  require(bank.nonEmpty && cids.length == bank.length,
+    s"centroid bank mismatch: ${cids.length} ids vs ${bank.length} vectors")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private def et: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"need array, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val t = et
+    val n = a.numElements()
+    var best = Double.PositiveInfinity
+    var bestCid = cids(0)
+    var c = 0
+    while (c < bank.length) {
+      val cv = bank(c)
+      val m = math.min(n, cv.length)
+      var s = 0.0; var i = 0
+      if (t == FloatType) {
+        while (i < m) { val d = a.getFloat(i).toDouble - cv(i); s += d * d; i += 1 }
+      } else {
+        while (i < m) { val d = a.getDouble(i) - cv(i); s += d * d; i += 1 }
+      }
+      if (java.lang.Double.compare(s, best) < 0) { best = s; bestCid = cids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bankRef = ctx.addReferenceObj("cidBank", bank, "double[][]")
+    val cidsRef = ctx.addReferenceObj("cidIds", cids, "long[]")
+    val getElem = et match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, best, bc, c, cv, m, s, d, i) =
+        (ctx.freshName("n"), ctx.freshName("best"), ctx.freshName("bcid"),
+         ctx.freshName("c"), ctx.freshName("cv"), ctx.freshName("m"),
+         ctx.freshName("s"), ctx.freshName("d"), ctx.freshName("i"))
+      s"""
+       |int $n = $a.numElements();
+       |double $best = Double.POSITIVE_INFINITY;
+       |long $bc = $cidsRef[0];
+       |for (int $c = 0; $c < $bankRef.length; $c++) {
+       |  double[] $cv = $bankRef[$c];
+       |  int $m = java.lang.Math.min($n, $cv.length);
+       |  double $s = 0.0;
+       |  for (int $i = 0; $i < $m; $i++) {
+       |    double $d = ${getElem(a, i)} - $cv[$i];
+       |    $s += $d * $d;
+       |  }
+       |  if (java.lang.Double.compare($s, $best) < 0) { $best = $s; $bc = $cidsRef[$c]; }
+       |}
+       |${ev.value} = $bc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Fused cosine: dot, |a|², |b|² in one pass (three independent left

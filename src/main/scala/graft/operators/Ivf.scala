@@ -91,18 +91,24 @@ object Ivf {
     cents
   }
 
-  /** Nearest-centroid assignment: emb columns + `cid`. Argmin is a
-    * native min over struct(d2, cid) — lexicographic struct ordering
-    * gives deterministic tie-break by cid, fully codegen'd, one
-    * map-side-combined aggregation (no udaf, no second join input). */
+  /** Nearest-centroid assignment: emb columns + `cid`, as a MAP-ONLY
+    * scan — the centroid bank is collected to the driver (k ≪ N by
+    * contract) and the per-row argmin runs inside one codegen'd kernel
+    * (VecNearestCid). The previous crossJoin(broadcast) +
+    * min(struct(d2, cid)) shape generated N·k rows whose aggregation
+    * falls back to a sort at large k: at 10M×1024 cells the 10-billion-
+    * row sort spill filled the disk. The kernel is bit-identical to the
+    * struct-min (same fold, ascending-cid strict update = tie-break by
+    * smallest cid), so every oracle hash is unchanged — and the
+    * vec_id↔best self-join this shape needed is gone too. */
   def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val best = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct(Vec.l2sqFast(col("embedding"), col("cv")).as("d2"), col("cid")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("sc")).as("sc"))
-      .select(col("vec_id").as("g"), col("sc.cid").as("cid"))
-    emb.join(best, emb("vec_id") === col("g")).drop("g")
+    val rows = cents.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+    val cids = rows.map(_.getLong(0))
+    val bank = rows.map(_.getSeq[Double](1).toArray)
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    emb.withColumn("cid",
+      bc.column(graft.functions.VecNearestCid(bc.expr(col("embedding")), cids, bank)))
   }
 
   /** nprobe nearest centroids per query → candidates from those cells

@@ -28,6 +28,32 @@ class VecExprsSpec extends AnyFunSuite with SharedSpark {
     assert(bad == 0)
   }
 
+  test("VecNearestCid bit-matches crossJoin + min(struct(d2, cid))") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(500)
+      .select(col("vec_id"), col("embedding"))
+    // centroid bank with planted exact-tie candidates: centroid 7 is a
+    // copy of centroid 3, so every row's (d2,3)==(d2,7) tie must
+    // resolve to cid 3 under both forms
+    val cents = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 97 === 0).limit(12)
+      .select((col("vec_id") % 100).cast("long").as("cid"),
+        Vec.asD(col("embedding")).as("cv"))
+      .localCheckpoint()
+    val dup = cents.orderBy("cid").limit(4).orderBy(col("cid").desc).limit(1)
+      .select(lit(9999L).as("cid"), col("cv"))
+    val bankDf = cents.union(dup).localCheckpoint()
+    val viaStruct = emb.crossJoin(broadcast(bankDf))
+      .select(col("vec_id"),
+        struct(Vec.l2sqFast(col("embedding"), col("cv")).as("d2"), col("cid")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cid_struct"))
+    val viaKernel = operators.Ivf.assign(emb, bankDf)
+      .select(col("vec_id"), col("cid").as("cid_kernel"))
+    val joined = viaStruct.join(viaKernel, "vec_id")
+    assert(joined.count() == 500)
+    assert(joined.filter(col("cid_struct") =!= col("cid_kernel")).count() == 0)
+  }
+
   test("kernels accept mixed float/double arrays") {
     val emb = Tables.t(spark, sf, "embeddings").limit(5)
     val r = emb.select(
