@@ -186,8 +186,9 @@ object ScaleRun {
     // the high-recall graph operating point (round-6 rich graph):
     // hub + 3 anchor entries, ef=16, 5 rounds over erk<=32 edges
     {
-      val rich = graft.queries.HnswQs.richGraph(spark, dir)
-        .filter(col("erk") <= 32).select(col("src"), col("dst")).localCheckpoint()
+      val richAll = graft.queries.HnswQs.richGraph(spark, dir)
+        .select(col("src"), col("dst"), col("erk")).localCheckpoint()
+      val rich = richAll.filter(col("erk") <= 32).select(col("src"), col("dst"))
       val entry = rich.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("src")).head().getLong(0)
       val (cents8, _) = graft.queries.HnswQs.anchorIvf(spark, dir)
@@ -200,6 +201,7 @@ object ScaleRun {
         "qid", "bid", "d", 3, asc = true)
         .select(col("qid"), col("bid")).localCheckpoint()
       var visited = 0L
+      if (!sys.env.get("SPARK_GRAFT_SCALE_SKIP_BASELINE").contains("1")) {
       val wide = bench("rich_wide_ef16") {
         val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
           .union(anchorRanked)
@@ -211,6 +213,7 @@ object ScaleRun {
       }
       out += "rich_wide_ef16_recall" -> recallOf(wide)
       out += "rich_wide_ef16_visited_per_q" -> visited / nQd
+      }
 
       // measured follow-up (m2): 10x training queries lifted coverage
       // 48k -> ~400k nodes but recall only 0.447 -> 0.486 — the binding
@@ -227,24 +230,40 @@ object ScaleRun {
         memberBase,
         c256s.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
         "l2", 1).select(col("bid")).distinct()
-      val aR256 = TopK.perGroup(
-        queries.crossJoin(broadcast(aN256.join(base, Seq("bid"))))
-          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", 3, asc = true)
-        .select(col("qid"), col("bid")).localCheckpoint()
-      Seq(5, 9).foreach { r =>
+      val qaDist = queries.crossJoin(broadcast(aN256.join(base, Seq("bid"))))
+        .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d"))
+        .localCheckpoint()
+      // operating-point sweep "anchors:ef:rounds[:deg]" — the 1M pair
+      // (3:16:5, 3:16:9) stays the default so m1/m2 reproduce; the 10M
+      // corpus needs a wider beam budget (anchors/ef/rounds grow with
+      // the graph diameter, deg opens erk edges up to the stored 48)
+      // and the visited-per-q ceiling is the reference's own band
+      // (≤ ~0.1% of base, README_RoarGraph.md:56-112)
+      val confs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFS", "3:16:5,3:16:9")
+        .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+          val p = s.split(":").map(_.trim.toInt)
+          (p(0), p(1), p(2), if (p.length > 3) p(3) else 32)
+        }
+      confs.foreach { case (na, ef, r, deg) =>
+        val edges =
+          if (deg == 32) rich
+          else richAll.filter(col("erk") <= deg).select(col("src"), col("dst"))
+        val aRk = TopK.perGroup(qaDist, "qid", "bid", "d", na, asc = true)
+          .select(col("qid"), col("bid")).localCheckpoint()
+        val tag = if (na == 3 && ef == 16 && deg == 32) s"rich_wide_ivfseed_r$r"
+          else s"rich_wide_ivfseed_a${na}_ef${ef}_r${r}_deg$deg"
         var vis2 = 0L
-        val w2 = bench(s"rich_wide_ivfseed_r$r") {
+        val w2 = bench(tag) {
           val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-            .union(aR256)
-          val (res, v) = BeamSearch.runFromSeedsCounted(rich, queries, base, seeds,
-            ef = 16, rounds = r)
+            .union(aRk)
+          val (res, v) = BeamSearch.runFromSeedsCounted(edges, queries, base, seeds,
+            ef = ef, rounds = r)
           vis2 = v
           TopK.perGroup(res, "qid", "bid", "dist", 10, asc = true)
             .select(col("qid"), col("bid"))
         }
-        out += s"rich_wide_ivfseed_r${r}_recall" -> recallOf(w2)
-        out += s"rich_wide_ivfseed_r${r}_visited_per_q" -> vis2 / nQd
+        out += s"${tag}_recall" -> recallOf(w2)
+        out += s"${tag}_visited_per_q" -> vis2 / nQd
       }
     }
 

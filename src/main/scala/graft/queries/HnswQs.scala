@@ -387,13 +387,14 @@ object HnswQs {
         .localCheckpoint()
       val nGtIp = gtIp.count().toDouble
       val routedRows = Seq("ip").map { m =>
+        val (routedEf, routedRounds, _) = HnswQs3.routedKnobsFor(s, dir)
         val t0 = System.nanoTime()
         val (res, visitedTotal) = HnswQs3.routedSearchCounted(s, dir, m)
         val top = res.select(col("qid"), col("bid")).localCheckpoint()
         val wallMs = (System.nanoTime() - t0) / 1e6
         val hits = top.join(gtIp, Seq("qid", "bid")).count()
-        (s"routed_$m", HnswQs3.RoutedEf, hits / nGtIp, visitedTotal / nQ,
-          HnswQs3.RoutedRounds, wallMs, nQ / (wallMs / 1000.0))
+        (s"routed_$m", routedEf, hits / nGtIp, visitedTotal / nQ,
+          routedRounds, wallMs, nQ / (wallMs / 1000.0))
       }
       (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
         .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms", "qps")

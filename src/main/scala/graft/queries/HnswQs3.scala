@@ -154,18 +154,73 @@ object HnswQs3 {
   // ---- quantizer-routed graph search (the 1M-proven configuration) ----
 
   private val RoutedDeg = 32
-  private[graft] val RoutedEf = 16
-  private[graft] val RoutedRounds = 5
-  private val RoutedEntries = 3
+
+  // Data-sized search budget (the 10M sweep, docs/scale_run.md §10M):
+  // the knobs that are sf-tuned constants in an index-search stack are
+  // exactly what dies at 100× — measured at 10M, beam WIDTH is the
+  // binding one (ef 16→32 bought +14pt recall where entries 3→8
+  // bought +1.3pt), and rounds track the graph diameter. Every rule is
+  // integer-arithmetic so the DuckDB oracle's params CTE computes the
+  // identical values (the SqlIvf.sizedCtes pattern), and every rule
+  // returns the 1M-proven (ef=16, r=5, entries=3) at n ≤ 1M so all
+  // test-SF oracle hashes are unchanged.
+  //   1M  (measured): ef=16 r=5  e=3 → recall 0.985 @ 0.16% visited
+  //   10M (measured): ef=64 r=9  e=8 → recall 0.939 @ 0.071% visited
+  //     (reference band at 10M: recall ~0.95 @ 0.092% visited,
+  //      README_RoarGraph.md:56-112)
+  /** smallest power-of-two ef in [16, 256] with 4000·ef² ≥ n */
+  private[graft] def routedEfFor(n: Long): Int = {
+    var e = 16
+    while (e < 256 && 4000L * e * e < n) e *= 2
+    e
+  }
+  /** 5 rounds at ≤1M, +4 per decade, capped at the oracle's unroll */
+  private[graft] val MaxRoutedRounds = 13
+  private[graft] def routedRoundsFor(n: Long): Int = {
+    var r = 5; var m = 1000000L
+    while (r < MaxRoutedRounds && m < n) { r += 4; m *= 10 }
+    r
+  }
+  /** hub + 3 routed entries at ≤1M; 8 beyond (10M: +1.3pt, cheap) */
+  private[graft] def routedEntriesFor(n: Long): Int =
+    if (n <= 1000000L) 3 else 8
+  /** (ef, rounds, entries) for the corpus behind `dir` — the BASE side
+    * count, the same n the oracle's rpar CTE computes from bb. */
+  private[graft] def routedKnobsFor(s: SparkSession, dir: String): (Int, Int, Int) = {
+    val n = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0).count()
+    (routedEfFor(n), routedRoundsFor(n), routedEntriesFor(n))
+  }
+
+  /** The oracle's data-sized knobs: the SAME integer rules as
+    * routedEfFor/routedRoundsFor/routedEntriesFor, as a CASE ladder
+    * over the bb count (thresholds are the exact loop boundaries:
+    * 4000·ef² for ef, decades for rounds). */
+  private val sqlRoutedKnobs = s"""
+      rpar AS (SELECT COUNT(*) AS n FROM bb),
+      rknobs AS (SELECT
+        CASE WHEN n <= 1024000 THEN 16 WHEN n <= 4096000 THEN 32
+             WHEN n <= 16384000 THEN 64 WHEN n <= 65536000 THEN 128
+             ELSE 256 END AS ef,
+        CASE WHEN n <= 1000000 THEN 5 WHEN n <= 10000000 THEN 9
+             ELSE 13 END AS rr,
+        CASE WHEN n <= 1000000 THEN 3 ELSE 8 END AS ents
+        FROM rpar)"""
 
   /** Beam rounds over `proj` seeded by rbeam0 — MATERIALIZED like the
     * phase trace's (5 rounds × multi-reference would re-inline the
     * whole rich-graph chain exponentially otherwise). Metric-
-    * parameterized with the Spark beam (dist = Vec.sqlMetricDist). */
-  private def sqlRoutedRounds(rounds: Int, ef: Int, metric: String): String =
-    (1 to rounds).map { r =>
+    * parameterized with the Spark beam (dist = Vec.sqlMetricDist).
+    *
+    * Data-sizing in STATIC SQL: the unroll is structural, so it always
+    * spans MaxRoutedRounds; a round past the corpus's rknobs.rr is a
+    * PASS-THROUGH — its expansion CTE is gated empty, and re-ranking a
+    * beam that is already ≤ ef rows per query reproduces it exactly.
+    * The Spark side simply builds rknobs.rr rounds at plan time. */
+  private def sqlRoutedRounds(metric: String): String =
+    (1 to MaxRoutedRounds).map { r =>
       s"""rex$r AS MATERIALIZED (SELECT DISTINCT b.qid, e.dst AS bid
-             FROM rbeam${r - 1} b JOIN proj e ON e.src = b.bid),
+             FROM rbeam${r - 1} b JOIN proj e ON e.src = b.bid
+             WHERE $r <= (SELECT rr FROM rknobs)),
       rrs$r AS (SELECT x.qid, x.bid, ${Vec.sqlMetricDist(metric, "q.qv", "v.v")} AS dist
                FROM rex$r x JOIN qq q ON q.qid = x.qid JOIN bb v ON v.bid = x.bid),
       rrun$r AS (SELECT DISTINCT qid, bid, dist FROM
@@ -174,7 +229,7 @@ object HnswQs3 {
       rbeam$r AS MATERIALIZED (SELECT qid, bid, dist FROM (
                    SELECT qid, bid, dist,
                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rn
-                   FROM rrun$r) WHERE rn <= $ef)"""
+                   FROM rrun$r) WHERE rn <= (SELECT ef FROM rknobs))"""
     }.mkString(",\n      ")
 
   /** Quantizer-routed wide graph search — the configuration the 1M
@@ -229,16 +284,17 @@ object HnswQs3 {
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
     val anchors = routedAnchors(s, dir, metric)
+    val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
       .union(graft.operators.TopK.perGroup(
         queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
           .select(col("qid"), col("bid"),
             Vec.metricDist(metric)(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", RoutedEntries, asc = true)
+        "qid", "bid", "d", ents, asc = true)
         .select(col("qid"), col("bid")))
       .distinct()
     val (res, visited) = BeamSearch.runFromSeedsCounted(
-      edges, queries, base, seeds, RoutedEf, RoutedRounds, metric)
+      edges, queries, base, seeds, ef, rounds, metric)
     (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited)
   }
 
@@ -253,15 +309,16 @@ object HnswQs3 {
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
     val anchors = routedAnchors(s, dir, metric)
+    val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
       .union(graft.operators.TopK.perGroup(
         queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
           .select(col("qid"), col("bid"),
             Vec.metricDist(metric)(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", RoutedEntries, asc = true)
+        "qid", "bid", "d", ents, asc = true)
         .select(col("qid"), col("bid")))
       .distinct()
-    BeamSearch.runFromSeeds(edges, queries, base, seeds, RoutedEf, RoutedRounds, metric)
+    BeamSearch.runFromSeeds(edges, queries, base, seeds, ef, rounds, metric)
       .filter(col("rnk") <= 10)
       .orderBy(col("qid"), col("rnk"))
   }
@@ -276,6 +333,7 @@ object HnswQs3 {
       proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= $RoutedDeg),
       qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      ${sqlRoutedKnobs},
       hub AS (SELECT src AS ebid FROM (
                 SELECT src, COUNT(*) AS d FROM proj GROUP BY src)
               ORDER BY d DESC, src LIMIT 1),
@@ -291,17 +349,17 @@ object HnswQs3 {
                 SELECT q.qid, a.bid,
                        ROW_NUMBER() OVER (PARTITION BY q.qid
                          ORDER BY ${Vec.sqlMetricDist(metric, "q.qv", "b.v")}, a.bid) AS rn
-                FROM qq q CROSS JOIN anch a JOIN bb b ON b.bid = a.bid) WHERE rn <= $RoutedEntries),
+                FROM qq q CROSS JOIN anch a JOIN bb b ON b.bid = a.bid) WHERE rn <= (SELECT ents FROM rknobs)),
       seeds AS (SELECT DISTINCT qid, bid FROM (
                   SELECT qid, ebid AS bid FROM qq CROSS JOIN hub
                   UNION ALL SELECT qid, bid FROM sd3)),
       rbeam0 AS MATERIALIZED (SELECT s.qid, s.bid, ${Vec.sqlMetricDist(metric, "q.qv", "v.v")} AS dist
                 FROM seeds s JOIN qq q ON q.qid = s.qid JOIN bb v ON v.bid = s.bid),
-      ${sqlRoutedRounds(RoutedRounds, RoutedEf, metric)}
+      ${sqlRoutedRounds(metric)}
       SELECT qid, rnk, bid, dist FROM (
         SELECT qid, bid, dist,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk
-        FROM rbeam$RoutedRounds) WHERE rnk <= 10
+        FROM rbeam$MaxRoutedRounds) WHERE rnk <= 10
       ORDER BY qid, rnk
     """
 
