@@ -12,7 +12,10 @@ package graft
   * (README_RoarGraph.md:19-56).
   *
   * Usage: runMain graft.RunOne <dataDir> <query> [query...]
-  * Env: SPARK_GRAFT_CPUS (default 8), SPARK_GRAFT_RUNONE_REPS (1).
+  * Env: SPARK_GRAFT_CPUS (default 8), SPARK_GRAFT_RUNONE_REPS (1),
+  * SPARK_GRAFT_RUNONE_GT (optional persisted groundtruth table name,
+  * e.g. gt_l2_k10 — if set, a (qid, bid) hit rate vs that artifact is
+  * printed for queries exposing those columns).
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -33,7 +36,20 @@ object RunOne {
         val df = fn(spark, dir).localCheckpoint()
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = df.count()
-        println(f"RUNONE $n%s rep=$r%d sec=$sec%.2f rows=$rows%d")
+        val recall = sys.env.get("SPARK_GRAFT_RUNONE_GT")
+          .filter(_ => Seq("qid", "bid").forall(df.columns.contains)) match {
+          case Some(gtName) =>
+            // resolves the persisted artifact; the build thunk only
+            // fires on a miss, so a missing gt fails loudly
+            val gt = graft.operators.ProjIndex.ensureTable(spark, dir, gtName)(
+              sys.error(s"gt artifact $gtName missing under $dir"))
+              .select(org.apache.spark.sql.functions.col("qid"),
+                org.apache.spark.sql.functions.col("bid"))
+            val hits = df.select("qid", "bid").join(gt, Seq("qid", "bid")).count()
+            f" recall=${hits.toDouble / gt.count()}%.3f"
+          case None => ""
+        }
+        println(f"RUNONE $n%s rep=$r%d sec=$sec%.2f rows=$rows%d$recall%s")
         System.out.flush()
         df.unpersist(blocking = true)
         spark.catalog.clearCache()

@@ -276,11 +276,19 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * LEFT FOLD in element order, the float element widened to double per
   * element; key bit = dot > 0 (SURVEY §6 determinism contract;
   * reference: simple_sim_hash.py hyperplane signatures).
+  *
+  * `nPlanes` selects a PREFIX of the extended bank (Lsh.PairAllPlanes
+  * planes in one deterministic stream): 64 for the 16×4 / 2×32 tiers
+  * (the default — byte-identical to the pre-round-9 expression), 192
+  * for the wide 4×48 tier a multi-million-row corpus needs.
   */
-case class LshBandKeys(child: Expression)
+case class LshBandKeys(child: Expression,
+    nPlanes: Int = graft.operators.Lsh.PairBands * graft.operators.Lsh.PairBandBits)
     extends UnaryExpression with CodegenFallback {
 
   import graft.operators.Lsh
+  require(nPlanes % Lsh.PairBandBits == 0 && nPlanes <= Lsh.PairAllPlanes,
+    s"nPlanes $nPlanes must be a nibble multiple within the ${Lsh.PairAllPlanes}-plane bank")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -298,9 +306,9 @@ case class LshBandKeys(child: Expression)
   }
   // flat plane bank: planes(j)(d) at j * Dim + d
   @transient private lazy val flatPlanes: Array[Double] = {
-    val out = new Array[Double](Lsh.PairBands * Lsh.PairBandBits * Lsh.Dim)
+    val out = new Array[Double](nPlanes * Lsh.Dim)
     var j = 0
-    while (j < Lsh.PairBands * Lsh.PairBandBits) {
+    while (j < nPlanes) {
       var d = 0
       while (d < Lsh.Dim) { out(j * Lsh.Dim + d) = Lsh.bandPlanes(j)(d); d += 1 }
       j += 1
@@ -311,9 +319,10 @@ case class LshBandKeys(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = math.min(v.numElements(), Lsh.Dim)
-    val keys = new Array[Int](Lsh.PairBands)
+    val nNibbles = nPlanes / Lsh.PairBandBits
+    val keys = new Array[Int](nNibbles)
     var band = 0
-    while (band < Lsh.PairBands) {
+    while (band < nNibbles) {
       var key = 0
       var bit = 0
       while (bit < Lsh.PairBandBits) {

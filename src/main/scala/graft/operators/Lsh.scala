@@ -53,6 +53,36 @@ object Lsh {
   val PairScaleBands = 2
   val PairScaleNibbles = 8 // 8 × 4-bit keys combine into one 32-bit band key
 
+  /** Second cutover (round 9, measured at 10M): the 2×32-bit
+    * global-centered layout DIED — its candidate-pair shuffle filled
+    * the disk. Measured root cause (ProfBuckets): clustered data
+    * freezes most sign bits CLUSTER-wide even after global centering,
+    * and wider global bands don't fix it (48-bit keys still held 110k
+    * rows in the hottest bucket at 10M; pair mass 8.8e10). Hyperplanes
+    * through the global mean cannot separate points inside a tight
+    * off-mean cluster — the same geometry lesson as centering, one
+    * level down.
+    *
+    * Past this cutover the tier hashes the QUANTIZER RESIDUAL instead:
+    * vectors route to their data-sized k-means cell (the shared
+    * persisted CurationQs.allIvf artifact — the dedup_semantic
+    * convention), the cell centroid is subtracted, and 4 bands × 44
+    * bits of the residual's signs key the buckets, packed with the
+    * cell id (cid·2⁴⁴ + bandKey < 2⁶³). Residuals are near-isotropic
+    * around the cell center, so band bits are genuinely noisy; exact
+    * duplicates share cell, residual, and therefore every band key by
+    * construction. Near-dup capture is cell-local, the standard
+    * IVF/SemDeDup convention (arXiv:2303.09540). */
+  val PairWideCutover = 2000000L
+  val PairWideBands = 4
+  val PairWideNibbles = 11 // 11 × 4-bit keys = one 44-bit band key
+  /** planes the wide tier consumes: 4 × 44 = 176 */
+  val PairWidePlanes = PairWideBands * PairWideNibbles * PairBandBits
+  /** full bank size (headroom above PairWidePlanes); the first 64 are
+    * bit-identical to the pre-round-9 bank (same stream, longer draw),
+    * so the 16×4 and 2×32 tiers are unchanged. */
+  val PairAllPlanes = 192
+
   /** bandPlanes(band * PairBandBits + bit)(dim) ∈ [-1, 1). */
   val bandPlanes: IndexedSeq[IndexedSeq[Double]] = {
     var x = 0xC2B2AE3D27D4EB4FL
@@ -60,7 +90,7 @@ object Lsh {
       x = x * 6364136223846793005L + 1442695040888963407L
       ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
-    IndexedSeq.fill(PairBands * PairBandBits)(IndexedSeq.fill(Dim)(next()))
+    IndexedSeq.fill(PairAllPlanes)(IndexedSeq.fill(Dim)(next()))
   }
 
   /** DuckDB literal for band plane j. */

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationQs {
 
-  private val SampleIters = 3
+  private[graft] val SampleIters = 3
   private val SamplePerCell = 4
 
   /** The all-corpus quantizer dedup_semantic and sample_per_cluster

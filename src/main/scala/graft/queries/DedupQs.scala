@@ -422,9 +422,17 @@ object DedupQs {
     *
     * The cutover is overridable so the spec can force the scale branch
     * on the small test corpus (the catalog entry always passes
-    * Lsh.PairScaleCutover). */
+    * Lsh.PairScaleCutover).
+    *
+    * A THIRD tier (≥ Lsh.PairWideCutover, measured at 10M where the
+    * 2×32 layout's candidate-pair shuffle filled the disk: clustered
+    * buckets grow linearly with n, pairs quadratically) widens to 4
+    * bands × 48-bit keys from the extended 192-plane bank — buckets
+    * re-collapse to near-singletons, exact dups still collide in every
+    * band, band count doubles to hold boundary capture. */
   private[graft] def embeddingPairs(
-      s: SparkSession, dir: String, cutover: Long): DataFrame = {
+      s: SparkSession, dir: String, cutover: Long,
+      wideCutover: Long = graft.operators.Lsh.PairWideCutover): DataFrame = {
       import graft.operators.{Lsh, Moments}
       val e = Tables.t(s, dir, "embeddings")
       val n = e.count()
@@ -459,6 +467,7 @@ object DedupQs {
           }.reduce((p, q) => p || q))
           (b, sup)
         } else {
+          if (n < wideCutover) {
           // quantized-exact global mean (Moments — partitioning-exact
           // integer sums, SURVEY §6), inlined as literals
           val m = e.agg(Moments.moments(Lsh.Dim)(col("embedding")).as("m"))
@@ -470,24 +479,72 @@ object DedupQs {
           val centered = e.select(col("vec_id"),
             zip_with(col("embedding").cast("array<double>"), meanArr,
               (x, mm) => x - mm).as("cv"))
-          val sigs = centered.select(col("vec_id"),
-            bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")))).as("ks"))
-            .localCheckpoint()
-          // regroup 8 consecutive 4-bit keys into one 32-bit band key
-          val b = sigs.select(col("vec_id"), col("ks"),
-            explode(expr(
-              s"transform(sequence(0, ${Lsh.PairScaleBands - 1}), b -> named_struct(" +
-                "'band_idx', b, " +
-                "'bkey', CAST(ks[b*8] AS BIGINT)*268435456 + ks[b*8+1]*16777216 + " +
-                "ks[b*8+2]*1048576 + ks[b*8+3]*65536 + ks[b*8+4]*4096 + " +
-                "ks[b*8+5]*256 + ks[b*8+6]*16 + ks[b*8+7]))")).as("w"))
-            .select(col("vec_id"), col("ks"),
-              col("w.band_idx").as("band_idx"), col("w.bkey").as("bkey"))
-          val sup = !(col("x.band_idx") > 0 &&
-            (0 until Lsh.PairScaleNibbles).map(j =>
-              element_at(col("x.ks"), j + 1) === element_at(col("y.ks"), j + 1))
-              .reduce((p, q) => p && q))
-          (b, sup)
+            val sigs = centered.select(col("vec_id"),
+              bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")))).as("ks"))
+              .localCheckpoint()
+            // regroup 8 consecutive 4-bit keys into one 32-bit band key
+            val b = sigs.select(col("vec_id"), col("ks"),
+              explode(expr(
+                s"transform(sequence(0, ${Lsh.PairScaleBands - 1}), b -> named_struct(" +
+                  "'band_idx', b, " +
+                  "'bkey', CAST(ks[b*8] AS BIGINT)*268435456 + ks[b*8+1]*16777216 + " +
+                  "ks[b*8+2]*1048576 + ks[b*8+3]*65536 + ks[b*8+4]*4096 + " +
+                  "ks[b*8+5]*256 + ks[b*8+6]*16 + ks[b*8+7]))")).as("w"))
+              .select(col("vec_id"), col("ks"),
+                col("w.band_idx").as("band_idx"), col("w.bkey").as("bkey"))
+            val sup = !(col("x.band_idx") > 0 &&
+              (0 until Lsh.PairScaleNibbles).map(j =>
+                element_at(col("x.ks"), j + 1) === element_at(col("y.ks"), j + 1))
+                .reduce((p, q) => p && q))
+            (b, sup)
+          } else {
+            // WIDE tier (≥ PairWideCutover): QUANTIZER-RESIDUAL keys
+            // (see Lsh.PairWideCutover — measured at 10M, where wider
+            // GLOBAL bands still held 110k-row buckets because a tight
+            // cluster freezes sign bits no matter the band width).
+            // Route each vector to its data-sized k-means cell (the
+            // shared persisted allIvf artifact — the dedup_semantic
+            // convention), hash the residual's 176-plane signature
+            // into 4 bands × 44 bits, and pack the cell id into the
+            // bucket key (cid·2⁴⁴ + bandKey < 2⁶³): residuals are
+            // near-isotropic so the bits are genuinely noisy, and
+            // exact dups share cell → residual → every band key.
+            //
+            // Rows carry ONLY the 4 packed keys (array<bigint>): the
+            // first 10M attempt carried the nibble signature through
+            // explode → window → self-join and the ~200 B/row tax
+            // across the twice-computed subplan was most of the spill.
+            // Packing is injective (cid, nibble-seq) → key, so
+            // earlier-band suppression compares bks[bnd] directly.
+            val (cents, assigned) = CurationQs.allIvf(s, dir)
+            val nib = Lsh.PairWideNibbles
+            val horner = (b0: Int) =>
+              (1 until nib).foldLeft(s"CAST(ks[${b0 * nib}] AS BIGINT)") {
+                (acc, k) => s"($acc) * 16 + ks[${b0 * nib + k}]"
+              }
+            val hornerArr = (0 until Lsh.PairWideBands)
+              .map(b0 => s"CAST(cid AS BIGINT) * 17592186044416 + (${horner(b0)})")
+              .mkString("array(", ", ", ")")
+            val rv = assigned
+              .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("cid"))
+              .join(broadcast(cents.select(col("cid").cast("long").as("cid"), col("cv"))),
+                Seq("cid"))
+              .select(col("vec_id"), col("cid"),
+                zip_with(col("embedding").cast("array<double>"), col("cv"),
+                  (x, c) => x - c).as("rv"))
+            val sigs = rv.select(col("vec_id"), col("cid"),
+              bc.column(graft.functions.LshBandKeys(bc.expr(col("rv")),
+                Lsh.PairWidePlanes)).as("ks"))
+              .select(col("vec_id"), expr(hornerArr).as("bks"))
+              .localCheckpoint()
+            val b = sigs.select(col("vec_id"), col("bks"),
+              posexplode(col("bks")).as(Seq("band_idx", "bkey")))
+            val sup = !((0 until Lsh.PairWideBands - 1).map { bnd =>
+              col("x.band_idx") > bnd &&
+                element_at(col("x.bks"), bnd + 1) === element_at(col("y.bks"), bnd + 1)
+            }.reduce((p, q) => p || q))
+            (b, sup)
+          }
         }
       // per-bucket ceiling (same 20k cap as simhash_ann): one hot
       // bucket must not turn the candidate self-join quadratic on a
@@ -525,6 +582,12 @@ object DedupQs {
           .mkString("(", " + ", ")")
       val keyList = (0 until Lsh.PairBands).map(sqlBkey(_, "v")).mkString("[", ", ", "]")
       val keyListC = (0 until Lsh.PairBands).map(sqlBkey(_, "cv")).mkString("[", ", ", "]")
+      val keyListW = (0 until Lsh.PairWideBands * Lsh.PairWideNibbles)
+        .map(sqlBkey(_, "rv")).mkString("[", ", ", "]")
+      val hornerW = (1 until Lsh.PairWideNibbles)
+        .foldLeft(s"CAST(ks[u.b*${Lsh.PairWideNibbles}+1] AS BIGINT)") {
+          (acc, k) => s"($acc) * 16 + ks[u.b*${Lsh.PairWideNibbles}+${k + 1}]"
+        }
       // same corpus-count branch as the Spark side: small = 16×4-bit
       // over raw v; scale = 2×32-bit over centered v (quantized-exact
       // mean, the SqlIvf moment form). Exactly one branch is non-empty.
@@ -546,7 +609,8 @@ object DedupQs {
              GROUP BY u.i),
       mn AS (SELECT list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS m FROM mx),
       ce AS (SELECT vec_id, list_transform(range(1, ${Lsh.Dim + 1}), i -> v[i] - m[i]) AS cv
-             FROM e, mn, prm WHERE n >= ${Lsh.PairScaleCutover}),
+             FROM e, mn, prm
+             WHERE n >= ${Lsh.PairScaleCutover} AND n < ${Lsh.PairWideCutover}),
       csg AS (SELECT vec_id, $keyListC AS ks FROM ce),
       cbands AS (
         SELECT vec_id, u.b AS band_idx,
@@ -556,8 +620,23 @@ object DedupQs {
         FROM (SELECT vec_id, ks,
                      unnest(list_transform(range(0, ${Lsh.PairScaleBands}), b -> {'b': b})) AS u
               FROM csg)),
+      ${graft.queries.SqlIvf.sizedCtes("true", CurationQs.SampleIters, "dq")},
+      wrv AS (SELECT a.vec_id, a.cid,
+                     list_transform(range(1, ${Lsh.Dim + 1}), i -> e2.v[i] - c.cv[i]) AS rv
+              FROM dqassign a
+              JOIN dqe e2 ON e2.vec_id = a.vec_id
+              JOIN dqcents c ON c.cid = a.cid, prm
+              WHERE n >= ${Lsh.PairWideCutover}),
+      wsg AS (SELECT vec_id, cid, $keyListW AS ks FROM wrv),
+      wbands AS (
+        SELECT vec_id, u.b AS band_idx,
+               CAST(cid AS BIGINT)*17592186044416 + ($hornerW) AS bkey
+        FROM (SELECT vec_id, cid, ks,
+                     unnest(list_transform(range(0, ${Lsh.PairWideBands}), b -> {'b': b})) AS u
+              FROM wsg)),
       bands AS (SELECT vec_id, band_idx, bkey FROM sbands
-                UNION ALL SELECT vec_id, band_idx, bkey FROM cbands),
+                UNION ALL SELECT vec_id, band_idx, bkey FROM cbands
+                UNION ALL SELECT vec_id, band_idx, bkey FROM wbands),
       capped AS (
         SELECT vec_id, band_idx, bkey FROM (
           SELECT vec_id, band_idx, bkey,

@@ -84,4 +84,41 @@ class DedupEmbeddingRecallSpec extends AnyFunSuite {
     assert(expected.subsetOf(found),
       s"${(expected -- found).size} planted exact-dup pairs missed by the scale branch")
   }
+
+  /** The WIDE tier (4 bands × 48-bit keys from the 192-plane bank —
+    * what a ≥2M corpus gets after the 10M run killed the 2×32 layout)
+    * forced onto the planted-dup corpus: still exactly-verified, and
+    * exact duplicates still collide in every band (identical centered
+    * vector → identical 48-bit keys). Persisted for the cross-engine
+    * scale-branch tool (tools/check_scale_branch.py --wide). */
+  test("wide tier: precision 1.0 and exact-dup capture") {
+    val tmp = "/tmp/graft_dedup_scale_spec"
+    val e = Tables.t(spark, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    // same planted corpus as the scale-branch test (rebuilt in case of
+    // test-order changes)
+    val planted = e.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+    e.select(col("vec_id"), col("embedding")).union(planted)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val foundDf = graft.queries.DedupQs.embeddingPairs(
+      spark, tmp, cutover = 0L, wideCutover = 0L)
+    foundDf.write.mode("overwrite").parquet(s"$tmp/found_wide.parquet")
+    val all = Tables.t(spark, tmp, "embeddings")
+    val a = all.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = all.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.Vec.cosineFast(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.45).select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = foundDf.select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(brute), "wide-tier output must be exactly-verified")
+    val expected = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(0) + maxId + 1)).toSet
+    assert(expected.subsetOf(found),
+      s"${(expected -- found).size} planted exact-dup pairs missed by the wide tier")
+    info(s"wide tier: ${found.size} pairs, all ${expected.size} planted dups captured")
+  }
 }
