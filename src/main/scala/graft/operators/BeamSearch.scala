@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Vec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Batch beam search over an edge-table graph — the Spark re-expression
   * of the reference's queue-driven graph search
@@ -80,6 +80,55 @@ object BeamSearch {
       maxRounds: Int): Seq[(DataFrame, Long, Long)] =
     runImpl(edges, queries, base, seeds, ef, maxRounds,
       countVisited = true, keepStages = true)._3
+
+  /** Batched sweep search: several same-shape sweep points advance
+    * through ONE search. Query and seed ids arrive pre-tagged
+    * (qid' = qid·tagBase + tag, 0 ≤ tag < tagBase), `efOf(qidCol)`
+    * gives each row's beam width — the pool keeps maxEf candidates and
+    * rank-filters, which is identical to running each tag at its own
+    * ef because top-e is the e-prefix of top-maxEf under the strict
+    * (dist, id) total order — and visited counts return PER TAG
+    * (seeds + per-round distinct expansions, the same ledger
+    * runFromSeedsCounted totals). One edges join per round regardless
+    * of how many tags ride along: a sweep that scheduled P·rounds
+    * jobs for P same-configuration points now schedules rounds. All
+    * result columns stay bit-identical per tag to the unbatched runs
+    * (BeamBatchSpec). */
+  def runFromSeedsCountedByTag(
+      edges: DataFrame,
+      queries: DataFrame,
+      base: DataFrame,
+      seeds: DataFrame,
+      maxEf: Int,
+      efOf: Column => Column,
+      tagBase: Int,
+      rounds: Int,
+      metric: String = "l2"): (DataFrame, Map[Int, Long]) = {
+    val scoreOf: DataFrame => DataFrame = cand =>
+      cand.join(base, Seq("bid"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("bid"),
+          Vec.metricDist(metric)(col("qv"), col("bv")).as("dist"))
+    val visited = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    def addCounts(df: DataFrame): Unit =
+      df.groupBy(pmod(col("qid"), lit(tagBase)).as("tag")).count().collect()
+        .foreach(r => visited(r.getAs[Long]("tag").toInt) += r.getAs[Long]("count"))
+    val seedSet = seeds.select(col("qid"), col("bid"))
+    addCounts(seedSet)
+    var beam = scoreOf(seedSet)
+    for (_ <- 1 to rounds) {
+      val frontier = beam.select(col("qid"), col("bid").as("src"))
+      val expanded = frontier.join(edges, Seq("src"))
+        .select(col("qid"), col("dst").as("bid"))
+        .distinct()
+      addCounts(expanded)
+      beam = TopK.perGroup(beam.union(scoreOf(expanded)), "qid", "bid", "dist", maxEf, asc = true)
+        .filter(col("rnk") <= efOf(col("qid")))
+        .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
+    }
+    (TopK.perGroup(beam, "qid", "bid", "dist", maxEf, asc = true)
+      .filter(col("rnk") <= efOf(col("qid"))), visited.toMap)
+  }
 
   /** Search-path trace (reference search_steps_to_target /
     * _search_layer_trace_until_target_with_phases,
