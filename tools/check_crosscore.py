@@ -8,13 +8,22 @@ with SEPARATE index roots (so every artifact — descent graph, layered
 substrate, phase trace — is rebuilt under each parallelism, not loaded
 from the first run's cache), then require byte-identical result rows.
 
+ann_quality_sweep rides along since its batched-search rework (r9): its
+deterministic columns (everything except the measured wall_ms/qps) must
+also be bit-identical under either parallelism.
+
 Usage: python3 tools/check_crosscore.py [sfDir]
-(defaults to /root/testdata/sf0.01; ~2 Verify runs of 3 queries each)
+(defaults to /root/testdata/sf0.01; ~2 Verify runs of 4 queries each)
 """
 import sys, os, glob, shutil, subprocess
 import duckdb
 
-QUERIES = "hnsw_insert,hnsw_phase_trace,hnsw_trace_stats"
+QUERIES = "hnsw_insert,hnsw_phase_trace,hnsw_trace_stats,ann_quality_sweep"
+
+# ann_quality_sweep's wall_ms/qps are measured latency (the catalog's one
+# documented nondeterministic output, VERDICT r1); every OTHER column of
+# every query must be bit-identical across core counts.
+EXCLUDE_COLS = {"ann_quality_sweep": {"wall_ms", "qps"}}
 
 
 def run_verify(sf, out, cpus, index_dir):
@@ -29,11 +38,12 @@ def run_verify(sf, out, cpus, index_dir):
             os.path.abspath(__file__))))
 
 
-def rows(con, d):
+def rows(con, d, exclude=frozenset()):
     files = sorted(glob.glob(f"{d}/*.parquet"))
     rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
     cols = rel.columns
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    idx = sorted((i for i in range(len(cols)) if cols[i] not in exclude),
+                 key=lambda i: cols[i])
     out = [tuple(r[i] for i in idx) for r in rel.fetchall()]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in idx], out
@@ -46,8 +56,9 @@ def main(sf="/root/testdata/sf0.01"):
     con = duckdb.connect()
     n_fail = 0
     for name in QUERIES.split(","):
-        ca, ra = rows(con, f"{a}/{name}")
-        cb, rb = rows(con, f"{b}/{name}")
+        excl = EXCLUDE_COLS.get(name, frozenset())
+        ca, ra = rows(con, f"{a}/{name}", excl)
+        cb, rb = rows(con, f"{b}/{name}", excl)
         if ca != cb:
             print(f"{name:20s} SCHEMA MISMATCH {ca} vs {cb}")
             n_fail += 1
