@@ -189,5 +189,98 @@ object CurationQs {
       ORDER BY cid
     """))
 
-  val qs: Seq[Q] = Seq(samplePerCluster, packContexts, sourceMixture, clusterQuality)
+  /** text_quality score floor for curate_corpus' quality gate —
+    * formula range is [0, 1], 0.55 splits the synthetic corpus
+    * meaningfully (~44% below at sf0.01). */
+  private val QualityMin = 0.55
+
+  /** The composed end-to-end curation verdict — the C4/Gopher-shaped
+    * pipeline a training-data team actually runs, assembled from this
+    * repo's proven stage operators. Per document, the FIRST failing
+    * stage in pipeline order:
+    *   benchmark_doc — doc_id % 100 = 0 rows are the held-out
+    *     benchmark set (contamination_check's convention), never
+    *     training data;
+    *   lang — stopword-profile prediction (lang_id's dominance fold)
+    *     is not the target language ('en');
+    *   quality — text_quality's score below QualityMin;
+    *   exact_dup — not the min-doc_id canonical of its
+    *     normalized-md5 group (dedup_exact's keep rule);
+    *   near_dup — a non-survivor member of a MinHash duplicate group
+    *     (dedup_minhash_groups / dedup_apply's removal set);
+    *   contaminated — shares a distinct 5-word shingle with the
+    *     benchmark set (contamination_check);
+    *   kept — survives every gate (the cleaned corpus).
+    * One row per document: (doc_id, keep, reason).
+    *
+    * Scale shape: language ratios, the quality score and the exact-dup
+    * digest ride ONE cached corpus pass (langScored's extra columns);
+    * the exact-dup canonical is a groupBy on 16-byte digests; the
+    * near-dup removal set reuses the persisted minhashPairs artifact +
+    * the bounded label propagation; contamination is the gram-hash
+    * equi-join. Final assembly joins the corpus against two SMALL flag
+    * sets (broadcast) and its own digest groups — the corpus streams
+    * through a constant number of passes, nothing all-pairs. The
+    * oracle re-derives every stage from scratch. */
+  val curateCorpus = Q(
+    "curate_corpus",
+    (s, dir) => {
+      val base = TextQs.langScored(s, dir, Seq(
+        TextQs.qualityScore(col("text")).as("q"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("nm")))
+      val canon = base.groupBy(col("nm")).agg(min(col("doc_id")).as("keep_id"))
+      val nearRemoved = DedupQs.dedupMinhashGroups.fn(s, dir)
+        .filter(col("member") =!= col("survivor_id"))
+        .select(col("member").as("doc_id"), lit(true).as("near_dup"))
+      val contam = TextQs2.contaminationHits(s, dir)
+        .select(col("doc_id"), lit(true).as("contam"))
+      val reason = when(col("doc_id") % 100 === 0, "benchmark_doc")
+        .when(TextQs.langPredCol =!= "en", "lang")
+        .when(col("q") < lit(QualityMin), "quality")
+        .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+        .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+        .when(coalesce(col("contam"), lit(false)), "contaminated")
+        .otherwise("kept")
+      base
+        .join(canon, Seq("nm"))
+        .join(broadcast(nearRemoved), Seq("doc_id"), "left")
+        .join(broadcast(contam), Seq("doc_id"), "left")
+        .select(col("doc_id"), reason.as("reason"))
+        .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.TextFns._
+      val w = sqlWords("text")
+      val punct = "(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)"
+      val stop = sqlRatioIn(w, stopwords("en"))
+      s"""
+      WITH RECURSIVE ${DedupQs.sqlGroupCtes},
+      qv AS (SELECT doc_id,
+                    ${TextQs.sqlLangCase} AS pred,
+                    least(1.0, len($w) * 1.0 / 64.0) * 0.3 + (1.0 - $punct) * 0.3 + $stop * 0.4 AS q,
+                    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+             FROM documents),
+      canon AS (SELECT nm, MIN(doc_id) AS keep_id FROM qv GROUP BY nm),
+      nearrem AS (SELECT node AS doc_id FROM comp WHERE node <> survivor_id),
+      cd AS (SELECT doc_id, ${sqlWordShingles(sqlWords("lower(text)"), 5)} AS sh5 FROM documents),
+      bench5 AS (SELECT DISTINCT md5(unnest(sh5)) AS gh FROM cd WHERE doc_id % 100 = 0),
+      tr5 AS (SELECT doc_id, md5(unnest(sh5)) AS gh FROM cd WHERE doc_id % 100 <> 0),
+      contam AS (SELECT DISTINCT tr5.doc_id FROM tr5 JOIN bench5 USING (gh)),
+      verdict AS (
+        SELECT qv.doc_id,
+               CASE WHEN qv.doc_id % 100 = 0 THEN 'benchmark_doc'
+                    WHEN qv.pred <> 'en' THEN 'lang'
+                    WHEN qv.q < CAST($QualityMin AS DOUBLE) THEN 'quality'
+                    WHEN qv.doc_id <> c.keep_id THEN 'exact_dup'
+                    WHEN qv.doc_id IN (SELECT doc_id FROM nearrem) THEN 'near_dup'
+                    WHEN qv.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                    ELSE 'kept' END AS reason
+        FROM qv JOIN canon c USING (nm))
+      SELECT doc_id, reason = 'kept' AS keep, reason FROM verdict ORDER BY doc_id
+      """
+    })
+
+  val qs: Seq[Q] = Seq(samplePerCluster, packContexts, sourceMixture, clusterQuality,
+    curateCorpus)
 }

@@ -244,7 +244,7 @@ object DedupQs {
 
   /** Shared oracle CTE chain ending in `comp(node, survivor_id)` — the
     * connected components of the verified duplicate pairs. */
-  private lazy val sqlGroupCtes = s"""$sqlShingled,
+  private[queries] lazy val sqlGroupCtes = s"""$sqlShingled,
       $sqlBanded,
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

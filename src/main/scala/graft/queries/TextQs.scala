@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFns._
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Family D (SURVEY §2D): text analysis over `documents`.
   *
@@ -90,30 +91,59 @@ object TextQs {
       """
     })
 
+  /** Cached (doc_id, lang, extra*, r_<lang>*) stopword-ratio table —
+    * the substrate lang_id's dominance fold runs on, shared with the
+    * composed curation pipeline (curate_corpus). The cache boundary
+    * matters (lesson 8): the fold references each language ratio up to
+    * |langs|-1 times and consumers reference the prediction again — on
+    * raw expressions that would re-run the word-array filter ~25x per
+    * row; on cached ratio ATTRIBUTES each ratio is computed once.
+    * `extra` lets a caller fold additional per-row columns into the
+    * same corpus pass instead of scanning documents twice. */
+  private[queries] def langScored(
+      s: SparkSession, dir: String,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val w = words(lower(col("text")))
+    val langs = stopwords.keys.toSeq.sorted
+    Tables.t(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("lang")) ++ extra ++
+        langs.map(l => ratioIn(w, stopwords(l)).as(s"r_$l")): _*)
+      .cache()
+  }
+
+  /** The dominance-fold prediction over langScored's r_* columns; ties
+    * break to the alphabetically first language. */
+  private[queries] def langPredCol: org.apache.spark.sql.Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => l -> col(s"r_$l")).toMap
+    langs.foldRight(lit(langs.last): org.apache.spark.sql.Column) { (l, acc) =>
+      val dominates = langs.filter(_ > l)
+        .map(o => scores(l) >= scores(o))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(dominates, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** DuckDB CASE expression mirroring langPredCol over a `text`
+    * column in scope — same tie-break, same ratio arithmetic. */
+  private[queries] def sqlLangCase: String = {
+    val w = sqlWords("lower(text)")
+    val langs = stopwords.keys.toSeq.sorted
+    def sc(l: String) = sqlRatioIn(w, stopwords(l))
+    val cases = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ > l).map(o => s"(${sc(l)}) >= (${sc(o)})").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n             ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
   /** Stopword-profile language ID; ties break to the alphabetically
     * first language. Compared against the labeled `lang` column. */
   val langId = Q(
     "lang_id",
     (s, dir) => {
-      val w = words(lower(col("text")))
-      val langs = stopwords.keys.toSeq.sorted
-      // cache boundary: the dominance fold references each language
-      // ratio up to |langs|-1 times and `hit` references pred again —
-      // on expressions that would re-run the word-array filter ~25x
-      // per row (lesson 8); on cached ratio ATTRIBUTES each ratio is
-      // computed once
-      val scored = Tables.t(s, dir, "documents")
-        .select(Seq(col("doc_id"), col("lang")) ++
-          langs.map(l => ratioIn(w, stopwords(l)).as(s"r_$l")): _*)
-        .cache()
-      val scores = langs.map(l => l -> col(s"r_$l")).toMap
-      val pred = langs.foldRight(lit(langs.last)) { (l, acc) =>
-        val dominates = langs.filter(_ > l)
-          .map(o => scores(l) >= scores(o))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        when(dominates, lit(l)).otherwise(acc)
-      }
-      scored
+      val pred = langPredCol
+      langScored(s, dir)
         .select(
           col("doc_id"), col("lang").as("labeled"),
           pred.as("pred"),
@@ -121,17 +151,10 @@ object TextQs {
         .orderBy(col("doc_id"))
     },
     Some {
-      val w = sqlWords("lower(text)")
-      val langs = stopwords.keys.toSeq.sorted
-      def sc(l: String) = sqlRatioIn(w, stopwords(l))
-      val cases = langs.dropRight(1).map { l =>
-        val conds = langs.filter(_ > l).map(o => s"(${sc(l)}) >= (${sc(o)})").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n             ")
       s"""
       SELECT doc_id, lang AS labeled,
-             CASE $cases ELSE '${langs.last}' END AS pred,
-             (CASE $cases ELSE '${langs.last}' END) = lang AS hit
+             $sqlLangCase AS pred,
+             ($sqlLangCase) = lang AS hit
       FROM documents
       ORDER BY doc_id
       """

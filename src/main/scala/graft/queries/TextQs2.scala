@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFns._
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Family D widened (round 3): retrieval scoring, train/test
   * decontamination, and repetition quality signals — the text-pipeline
@@ -85,6 +86,31 @@ object TextQs2 {
       """
     })
 
+  /** (doc_id, n_shared ≥ 1) for every TRAIN doc sharing at least one
+    * distinct 5-word shingle with the benchmark set — the join core of
+    * contamination_check, shared with curate_corpus. */
+  private[queries] def contaminationHits(s: SparkSession, dir: String): DataFrame = {
+    val ShingleN = 5
+    // localCheckpoint: BOTH branches explode `sh`, and a generator's
+    // input expression runs interpreted per OUTPUT row (lesson 2) —
+    // without the boundary the whole words→shingles chain re-ran per
+    // emitted shingle (measured 19.5s vs ~2s at sf0.1)
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        bc.column(graft.functions.WordShinglesExpr(
+          bc.expr(words(lower(col("text")))), ShingleN)).as("sh"))
+      .localCheckpoint()
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+      .select(md5(col("g")).as("gh"))
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Train/test decontamination (the GPT-3-style n-gram containment
     * check): docs with doc_id % 100 = 0 stand in for the benchmark
     * set; a training doc is contaminated when it shares at least one
@@ -98,27 +124,10 @@ object TextQs2 {
   val contaminationCheck = Q(
     "contamination_check",
     (s, dir) => {
-      val ShingleN = 5
-      // localCheckpoint: BOTH branches explode `sh`, and a generator's
-      // input expression runs interpreted per OUTPUT row (lesson 2) —
-      // without the boundary the whole words→shingles chain re-ran per
-      // emitted shingle (measured 19.5s vs ~2s at sf0.1)
-      val bc = org.apache.spark.sql.graftbridge.Bridge
-      val docs = Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          bc.column(graft.functions.WordShinglesExpr(
-            bc.expr(words(lower(col("text")))), ShingleN)).as("sh"))
-        .localCheckpoint()
-      val bench = docs.filter(col("doc_id") % 100 === 0)
-        .select(explode(col("sh")).as("g")).distinct()
-        .select(md5(col("g")).as("gh"))
-      val train = docs.filter(col("doc_id") % 100 =!= 0)
-      val hits = train
-        .select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
-        .join(broadcast(bench), Seq("gh"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      train.select(col("doc_id"))
+      val hits = contaminationHits(s, dir)
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"))
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
