@@ -218,10 +218,12 @@ object CurationQs {
     * the exact-dup canonical is a groupBy on 16-byte digests; the
     * near-dup removal set reuses the persisted minhashPairs artifact +
     * the bounded label propagation; contamination is the gram-hash
-    * equi-join. Final assembly joins the corpus against two SMALL flag
-    * sets (broadcast) and its own digest groups — the corpus streams
-    * through a constant number of passes, nothing all-pairs. The
-    * oracle re-derives every stage from scratch. */
+    * equi-join. Final assembly joins the corpus against the two flag
+    * sets (typically tiny — AQE broadcasts them when they fit, with no
+    * forced hint so a pathological all-dup corpus degrades to a
+    * shuffle join, never an OOM) and its own digest groups — the
+    * corpus streams through a constant number of passes, nothing
+    * all-pairs. The oracle re-derives every stage from scratch. */
   val curateCorpus = Q(
     "curate_corpus",
     (s, dir) => {
@@ -241,10 +243,15 @@ object CurationQs {
         .when(coalesce(col("near_dup"), lit(false)), "near_dup")
         .when(coalesce(col("contam"), lit(false)), "contaminated")
         .otherwise("kept")
+      // no broadcast hints on the flag sets: they are usually small,
+      // but a pathological corpus can make either arbitrarily large
+      // (every doc a non-survivor dup / every doc contaminated) — AQE
+      // broadcasts them when they fit, exactly like dedup_apply's
+      // removal anti-join
       base
         .join(canon, Seq("nm"))
-        .join(broadcast(nearRemoved), Seq("doc_id"), "left")
-        .join(broadcast(contam), Seq("doc_id"), "left")
+        .join(nearRemoved, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), reason.as("reason"))
         .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
         .orderBy(col("doc_id"))
