@@ -14,7 +14,7 @@ class GtDepthSpec extends AnyFunSuite with SharedSpark {
 
   private val sf01 = "/root/testdata/sf0.01"
 
-  for (metric <- Seq("l2", "ip")) {
+  for (metric <- Seq("l2", "cosine", "ip")) {
     test(s"gt at K=100: kernel == join formulation bit-for-bit ($metric)") {
       val fast = VectorQs.gtTopk(spark, sf01, metric, k = 100).collect()
       val ref = VectorQs.gtTopkJoin(spark, sf01, metric, k = 100).collect()
