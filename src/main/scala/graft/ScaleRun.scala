@@ -105,11 +105,6 @@ object ScaleRun {
     // the 10x-training-queries follow-up corpus)
     val graphOnly = sys.env.get("SPARK_GRAFT_SCALE_GRAPH_ONLY").contains("1")
 
-    // ---- phase 3: index builds (timed, build-once) ----
-    val (_, tRich) = time(noop(graft.queries.HnswQs.richGraph(spark, dir)))
-    out += "build_rich_graph_sec" -> tRich
-    val (_, tAnchor) = time { graft.queries.HnswQs.anchorIvf(spark, dir); () }
-    out += "build_anchor_sec" -> tAnchor
     // scale quantizer: DATA-SIZED like the catalog (Ivf.cellsFor — 256
     // at 1M, 1024 at 10M) and trained on the strided sample
     // (Ivf.sizedBuild) so the Lloyd rounds never scan N×cells; only
@@ -126,6 +121,27 @@ object ScaleRun {
       out += s"build_ivf${scaleCells}_sec" -> tIvfScale
       r
     }
+
+    // SPARK_GRAFT_SCALE_PREBUILD=1: build only the graph-INDEPENDENT
+    // artifacts (corpus, groundtruth, anchor + scale quantizers) and
+    // exit — the expensive strategy-independent pieces can build in
+    // the background while graph-side parameters are still being
+    // iterated on; a later full run finds them ensured and skips them.
+    if (sys.env.get("SPARK_GRAFT_SCALE_PREBUILD").contains("1")) {
+      val (_, tAnchorP) = time { graft.queries.HnswQs.anchorIvf(spark, dir); () }
+      out += "build_anchor_sec" -> tAnchorP
+      ivfScale
+      println("PREBUILD_DONE")
+      System.out.flush()
+      spark.stop()
+      return
+    }
+
+    // ---- phase 3: index builds (timed, build-once) ----
+    val (_, tRich) = time(noop(graft.queries.HnswQs.richGraph(spark, dir)))
+    out += "build_rich_graph_sec" -> tRich
+    val (_, tAnchor) = time { graft.queries.HnswQs.anchorIvf(spark, dir); () }
+    out += "build_anchor_sec" -> tAnchor
     if (!graphOnly) {
       val (_, tProj) = time(noop(graft.operators.ProjIndex.ensureGraph(spark, dir) {
         graft.queries.VectorQs2.roarProjectionGraph.fn(spark, dir)

@@ -24,6 +24,18 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** BASE-side row count of the `embeddings` table (vec_id % 50 <> 0)
+    * — the `n` every data-sized rule derives from (Ivf.cellsFor,
+    * HnswQs.richKFor, HnswQs3.routedKnobsFor). Memoized per dir: the
+    * count itself is a column scan, and rule sites resolve it many
+    * times per session. The corpus behind a dir is immutable by
+    * convention (write-once test data / ScaleRun corpora). */
+  private val baseCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def baseCount(spark: SparkSession, dir: String): Long =
+    baseCounts.computeIfAbsent(dir, _ =>
+      t(spark, dir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 50 =!= 0).count())
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
     * a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
     * Normalize to a microsecond TIMESTAMP (`ts div 1000` — exact long

@@ -32,6 +32,22 @@ object Ivf {
     p
   }
 
+  /** DATA-SIZED probe width (r9 verdict item 5): every other knob in
+    * the stack derives from N but nprobe stayed 4, so the 10M catalog
+    * default answered 0.264 recall while the docs pointed at nprobe as
+    * the knob. Rule: smallest power of two p with p·p ≥ cells — 4 at
+    * ≤ 16 cells (every test-SF hash unchanged), 16 at 256 cells (1M:
+    * the measured 0.859-recall point), 32 at 1024 cells (10M). Probed
+    * fraction stays ≈ nprobe/cells ≈ 1/√cells → shrinks as the corpus
+    * grows, while recall holds via more, smaller cells. Mirrored by
+    * the ivf_search oracle's `bnp` CTE. */
+  val MinProbe = 4
+  def nprobeFor(cells: Int): Int = {
+    var p = MinProbe
+    while (p < cells && p * p < cells) p *= 2
+    p
+  }
+
   /** k-means training-sample stride: Lloyd iterations run on ~128
     * vectors per centroid (`vec_id % stride = 0`), the full corpus
     * only pays the single final assignment pass — at 100 TB nobody

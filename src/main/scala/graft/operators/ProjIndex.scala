@@ -68,13 +68,22 @@ object ProjIndex {
     IndexStore.loadIvf(s, p)
   }
 
+  /** Versioned artifact path for ensureTable's (dir, tag) under the
+    * CURRENT Version. Spec staleness cleanups must resolve paths
+    * through this (advice r9): a hardcoded version segment becomes a
+    * silent no-op delete the day Version is bumped, and an edited
+    * fixture could then replay against a stale same-tag artifact. */
+  def tablePath(dir: String, tag: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
+    val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"$root/$Version/$dtag/$tag"
+  }
+
   /** Generic build-once/load-many parquet table (e.g. the verified
     * dedup pair set — a real pipeline materializes it once and the
     * groups/apply stages read it, they don't re-mine the corpus). */
   def ensureTable(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
-    val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val p = s"$root/$Version/$dtag/$tag"
+    val p = tablePath(dir, tag)
     val hp = new Path(p)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(hp, "_SUCCESS")))

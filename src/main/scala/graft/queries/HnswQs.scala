@@ -244,7 +244,12 @@ object HnswQs {
     * tagged beam search (BeamSearch.runFromSeedsCountedByTag), and the
     * rounds points one staged search — so such points report their
     * batched action's shared wall clock. recall/avg_visited/hops stay
-    * bit-identical to unbatched per-point runs (BeamBatchSpec). */
+    * bit-identical to unbatched per-point runs (BeamBatchSpec).
+    * `batch_n` (advice r9) = how many points share that row's clock:
+    * wall_ms/qps with batch_n > 1 are the BATCH's wall and aggregate
+    * throughput, not a per-point latency; batch_n = 1 rows (adaptive,
+    * per-stage beam clocks, routed_ip's build-time wall) are genuine
+    * per-point measurements. */
   val annQualitySweep = Q(
     "ann_quality_sweep",
     (s, dir) => {
@@ -254,7 +259,10 @@ object HnswQs {
       val (cents, base) = sweepIvf(s, dir)
       val q2 = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val gt = VectorQs.gtTopk(s, dir, "l2").select(col("qid"), col("bid"))
+      // depth pinned at 10: every sweep search emits top-10, so the
+      // recall denominator must be 10 gt rows per query regardless of
+      // the SPARK_GRAFT_GT_K env knob (which only gt_topk_* honors)
+      val gt = VectorQs.gtTopk(s, dir, "l2", 10).select(col("qid"), col("bid"))
         .localCheckpoint()
       val nGt = gt.count().toDouble
       val nQ = q2.count().toDouble
@@ -281,6 +289,10 @@ object HnswQs {
       // sweep schedules 3 actions instead of 5 searches × 3 actions.
       // Batched points share the batched action's wall clock.
       val nps = Seq(1, 2, 4, 8, 12)
+      // every tagged encoding packs its point id under the tag base —
+      // a point at or above the base would silently collide two points
+      // into one group key (advice r9)
+      require(nps.max < 16, s"np tag overflows base 16: ${nps.max}")
       val ivfT0 = System.nanoTime()
       val npArr = array(nps.map(lit): _*)
       val topNp = TopK.perGroup(
@@ -304,7 +316,7 @@ object HnswQs {
       val ivfRows = nps.map { np =>
         val visited = (1 to np).map(r => cntByRnk.getOrElse(r, 0L)).sum / nQ
         ("ivf", np, hitsByNp.getOrElse(np, 0L) / nGt, visited, 0, ivfWallMs,
-          nQ / (ivfWallMs / 1000.0))
+          nQ / (ivfWallMs / 1000.0), nps.size)
       }
       // adaptive point (ivf_search_adaptive's rule over the same scored
       // candidates): param = α×100
@@ -322,7 +334,7 @@ object HnswQs {
         val hits = top.join(gt, Seq("qid", "bid")).count()
         val visited = probedCand.count() / nQ
         ("adaptive", (alpha * 100).round.toInt, hits / nGt, visited, 0, wallMs,
-          nQ / (wallMs / 1000.0))
+          nQ / (wallMs / 1000.0), 1)
       }
       val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
           VectorQs2.roarProjectionGraph.fn(s, dir)
@@ -341,7 +353,8 @@ object HnswQs {
         val top = res.select(col("qid"), col("bid")).localCheckpoint()
         val wallMs = nanos / 1e6
         val hits = top.join(gt, Seq("qid", "bid")).count()
-        ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs, nQ / (wallMs / 1000.0))
+        ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs,
+          nQ / (wallMs / 1000.0), 1)
       }
       // entry-point-count sweep (plot_entry_points_comparison.py /
       // hnsw_with_bridges_optimized.py:137-274): same graph, ef and
@@ -379,6 +392,7 @@ object HnswQs {
       // per-tag results and visited ledgers are bit-identical to the
       // separate runs — BeamBatchSpec) and share its wall clock
       val multiNs = Seq(1, 2, 4, 8)
+      require(multiNs.max < 16, s"multi tag overflows base 16: ${multiNs.max}")
       val multiT0 = System.nanoTime()
       val qMulti = multiNs.map(n =>
           q2.select((col("qid") * 16 + n).as("qid"), col("qv")))
@@ -401,7 +415,7 @@ object HnswQs {
         .map(r => r.getAs[Int]("tag") -> r.getAs[Long]("count")).toMap
       val multiRows = multiNs.map { n =>
         ("multi", n, hitsMulti.getOrElse(n, 0L) / nGt, visMulti.getOrElse(n, 0L) / nQ,
-          3, multiWallMs, nQ / (multiWallMs / 1000.0))
+          3, multiWallMs, nQ / (multiWallMs / 1000.0), multiNs.size)
       }
       // high-recall operating point (the reference operates graph search
       // at recall 0.69-0.99, README_RoarGraph.md:56-112): rich graph at
@@ -416,6 +430,7 @@ object HnswQs {
       // rank-filtered to the tag's ef is exactly the narrower beam) —
       // one 5-round search instead of two, shared wall clock
       val wideEfs = Seq(16, 32)
+      require(wideEfs.max < 64, s"wide tag overflows base 64: ${wideEfs.max}")
       val wideT0 = System.nanoTime()
       val qWide = wideEfs.map(e =>
           q2.select((col("qid") * 64 + e).as("qid"), col("qv")))
@@ -438,28 +453,37 @@ object HnswQs {
         .map(r => r.getAs[Int]("tag") -> r.getAs[Long]("count")).toMap
       val wideRows = wideEfs.map { wideEf =>
         ("wide", wideEf, hitsWide.getOrElse(wideEf, 0L) / nGt,
-          visWide.getOrElse(wideEf, 0L) / nQ, 5, wideWallMs, nQ / (wideWallMs / 1000.0))
+          visWide.getOrElse(wideEf, 0L) / nQ, 5, wideWallMs,
+          nQ / (wideWallMs / 1000.0), wideEfs.size)
       }
       // routed operating point on the reference's HEADLINE metric —
       // inner product after normalization (README_RoarGraph.md:45-47):
       // graph_routed_search_ip's exact machinery (IP rich graph + IP
       // anchor seeds + wide IP beam), counted, scored against the exact
       // IP groundtruth — param = ef, hops = beam rounds
-      val gtIp = VectorQs.gtTopk(s, dir, "ip").select(col("qid"), col("bid"))
+      // The routed row loads the PERSISTED counted-search artifact
+      // (HnswQs3.routedCountedArtifact) instead of re-executing the
+      // search graph_routed_search_ip already runs live in this bench
+      // pass (r9 verdict item 4). recall/avg_visited are bit-identical
+      // to the live run (deterministic search); wall_ms/qps are the
+      // wall of the artifact's one build-time execution.
+      val gtIp = VectorQs.gtTopk(s, dir, "ip", 10).select(col("qid"), col("bid"))
         .localCheckpoint()
       val nGtIp = gtIp.count().toDouble
       val routedRows = Seq("ip").map { m =>
-        val (routedEf, routedRounds, _) = HnswQs3.routedKnobsFor(s, dir)
-        val t0 = System.nanoTime()
-        val (res, visitedTotal) = HnswQs3.routedSearchCounted(s, dir, m)
-        val top = res.select(col("qid"), col("bid")).localCheckpoint()
-        val wallMs = (System.nanoTime() - t0) / 1e6
-        val hits = top.join(gtIp, Seq("qid", "bid")).count()
+        val (routedEf, routedRounds, _, _) = HnswQs3.routedKnobsFor(s, dir)
+        val art = HnswQs3.routedCountedArtifact(s, dir, m).localCheckpoint()
+        val meta = art.select(col("visited_total"), col("build_wall_ms")).head()
+        val visitedTotal = meta.getLong(0)
+        val wallMs = meta.getDouble(1)
+        val hits = art.select(col("qid"), col("bid"))
+          .join(gtIp, Seq("qid", "bid")).count()
         (s"routed_$m", routedEf, hits / nGtIp, visitedTotal / nQ,
-          routedRounds, wallMs, nQ / (wallMs / 1000.0))
+          routedRounds, wallMs, nQ / (wallMs / 1000.0), 1)
       }
       (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
-        .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms", "qps")
+        .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms",
+          "qps", "batch_n")
         .orderBy(col("method"), col("param"))
     },
     None)
@@ -621,9 +645,23 @@ object HnswQs {
 
   // ---- rich projection graph (the high-recall build) ----
 
-  private[queries] val RichK = 48 // query-kNN list length (reference trains on ~100-NN lists)
+  private[queries] val RichK = 48 // query-kNN list length at test/1M scale
   private[queries] val RichM = 16 // neighbors kept per list member (M_pjbp-scale, roargraph_python.py:177)
   private[graft] val RichDeg = 48 // stored per-source degree cap; search picks erk <= D <= RichDeg
+
+  /** DATA-SIZED training-list depth (r9 verdict item 1): the 10M run
+    * showed the binding constraint on the routed-search frontier is the
+    * GRAPH — 10k training queries × k=48 lists cover only ~4% of a 10M
+    * base, and the beam compensates for sparse member density near the
+    * target with brute width (ef 64). The reference builds its
+    * bipartite projection from ~100-NN training lists
+    * (roargraph_python.py:177-294, README_RoarGraph.md:9-15 computes
+    * groundtruth at K=100); doubling k doubles both membership AND
+    * local degree for nearly the same build cost (the |Q|×N brute-force
+    * scan dominates, not the per-query k×k member block). 48 at ≤ 1M
+    * keeps every test-SF and 1M artifact/oracle unchanged; 96 beyond.
+    * The oracle computes the same rule in its `rkn` CTE. */
+  private[graft] def richKFor(n: Long): Int = if (n <= 1000000L) RichK else 96
 
   /** High-recall projection graph (VERDICT r5 item 1): the round-2
     * roar_projection_graph tops out at recall 0.49 because it is
@@ -652,16 +690,19 @@ object HnswQs {
     * reference's headline benchmark is IP-after-normalization
     * (README_RoarGraph.md:45-47); each metric gets its own artifact. */
   def richGraph(s: SparkSession, dir: String, metric: String = "l2",
-      k: Int = RichK): DataFrame =
+      k: Int = 0): DataFrame = {
+    // k = 0 → data-sized list depth (richKFor); explicit k overrides
+    // (InteropSpec builds at the reference's literal K=100)
+    val kk = if (k > 0) k else richKFor(Tables.baseCount(s, dir))
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"rich_proj_k${k}_m${RichM}_d$RichDeg" +
+      s"rich_proj_k${kk}_m${RichM}_d$RichDeg" +
         (if (metric == "l2") "" else s"_$metric")) {
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val topk = BruteForce.topk(base, queries, metric, k)
+      val topk = BruteForce.topk(base, queries, metric, kk)
         .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         .localCheckpoint()
       val mem = topk.join(base, Seq("bid"))
@@ -686,6 +727,7 @@ object HnswQs {
         .filter(col("erk") <= RichDeg)
         .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
     }
+  }
 
   /** The rich-build CTE chain (ends at `rer`(src, dst, w, erk)) —
     * shared by roar_rich_graph's oracle and the routed-search oracles
@@ -694,10 +736,11 @@ object HnswQs {
   private[queries] def sqlRichCtesFor(metric: String): String = s"""
       rq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       rb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
+      rkn AS (SELECT CASE WHEN (SELECT COUNT(*) FROM rb) <= 1000000 THEN $RichK ELSE 96 END AS rk),
       rsc AS (SELECT qid, bid, ${Vec.sqlMetricDist(metric, "qv", "bv")} AS dist FROM rb CROSS JOIN rq),
       rrr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, bid) AS INT) AS rnk
              FROM rsc),
-      rtopk AS (SELECT qid, bid, rnk FROM rrr WHERE rnk <= $RichK),
+      rtopk AS (SELECT qid, bid, rnk FROM rrr WHERE rnk <= (SELECT rk FROM rkn)),
       rmem AS MATERIALIZED (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM rtopk t JOIN rb e ON e.bid = t.bid),
       rpr AS (SELECT m1.qid, m1.rnk AS r1, m1.bid AS tbid, m2.bid AS cbid,
                     ${Vec.sqlMetricDist(metric, "m1.v", "m2.v")} AS d

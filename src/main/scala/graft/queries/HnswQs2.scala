@@ -50,7 +50,7 @@ object HnswQs2 {
       val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
       val (beams, candFirst) = BeamSearch.runTrace(edges, queries, base, seeds, Ef, Rounds)
       // the true NN per query (gt_topk_l2's rank-1 row, same tie-break)
-      val gt1 = VectorQs.gtTopk(s, dir, "l2").filter(col("rnk") === 1)
+      val gt1 = VectorQs.gtTopk(s, dir, "l2", 1).filter(col("rnk") === 1)
         .select(col("qid"), col("bid").as("target"))
       // first round (0 = seed snapshot) whose top-ef beam contains the
       // target — renaming bid→target makes the gt1 join unambiguous

@@ -89,7 +89,7 @@ object HnswQs3 {
     // steps/visited use beam_steps_to_target's exact semantics
     val e0 = layers.filter(col("level") === 0).select(col("src"), col("dst"))
     val (beams0, cand0) = BeamSearch.runTrace(e0, queries, base, seeds, L0Ef, L0Rounds)
-    val gt1 = VectorQs.gtTopk(s, dir, "l2").filter(col("rnk") === 1)
+    val gt1 = VectorQs.gtTopk(s, dir, "l2", 1).filter(col("rnk") === 1)
       .select(col("qid"), col("bid").as("target"))
     val found = beams0.zipWithIndex.map { case (b, r) =>
         b.select(col("qid"), col("bid")).withColumn("r", lit(r))
@@ -155,6 +155,15 @@ object HnswQs3 {
 
   private val RoutedDeg = 32
 
+  /** DATA-SIZED traversal degree (r9 verdict item 1): at ≤ 1M the
+    * 1M-proven best-32 prefix; beyond, open the stored erk ≤ 48 edges
+    * — the 10M sweep measured deg 48 buying +2.1pt recall at ef 32
+    * (docs/scale_run.md §10M), and with the denser k=96 training lists
+    * the wider prefix is where the added local edges live. Mirrored by
+    * the oracle's rknobs.dg. */
+  private[graft] def routedDegFor(n: Long): Int =
+    if (n <= 1000000L) RoutedDeg else HnswQs.RichDeg
+
   // Data-sized search budget (the 10M sweep, docs/scale_run.md §10M):
   // the knobs that are sf-tuned constants in an index-search stack are
   // exactly what dies at 100× — measured at 10M, beam WIDTH is the
@@ -184,11 +193,11 @@ object HnswQs3 {
   /** hub + 3 routed entries at ≤1M; 8 beyond (10M: +1.3pt, cheap) */
   private[graft] def routedEntriesFor(n: Long): Int =
     if (n <= 1000000L) 3 else 8
-  /** (ef, rounds, entries) for the corpus behind `dir` — the BASE side
-    * count, the same n the oracle's rpar CTE computes from bb. */
-  private[graft] def routedKnobsFor(s: SparkSession, dir: String): (Int, Int, Int) = {
-    val n = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0).count()
-    (routedEfFor(n), routedRoundsFor(n), routedEntriesFor(n))
+  /** (ef, rounds, entries, deg) for the corpus behind `dir` — the BASE
+    * side count, the same n the oracle's rpar CTE computes from bb. */
+  private[graft] def routedKnobsFor(s: SparkSession, dir: String): (Int, Int, Int, Int) = {
+    val n = Tables.baseCount(s, dir)
+    (routedEfFor(n), routedRoundsFor(n), routedEntriesFor(n), routedDegFor(n))
   }
 
   /** The oracle's data-sized knobs: the SAME integer rules as
@@ -203,7 +212,8 @@ object HnswQs3 {
              ELSE 256 END AS ef,
         CASE WHEN n <= 1000000 THEN 5 WHEN n <= 10000000 THEN 9
              ELSE 13 END AS rr,
-        CASE WHEN n <= 1000000 THEN 3 ELSE 8 END AS ents
+        CASE WHEN n <= 1000000 THEN 3 ELSE 8 END AS ents,
+        CASE WHEN n <= 1000000 THEN $RoutedDeg ELSE ${HnswQs.RichDeg} END AS dg
         FROM rpar)"""
 
   /** Beam rounds over `proj` seeded by rbeam0 — MATERIALIZED like the
@@ -248,14 +258,15 @@ object HnswQs3 {
     * graph and quantizer it derives from (warmed by Bench alongside
     * them). */
   private[graft] def routedAnchors(s: SparkSession, dir: String,
-      metric: String = "l2"): DataFrame =
+      metric: String = "l2"): DataFrame = {
+    val deg = routedDegFor(Tables.baseCount(s, dir))
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_anchor_members_deg$RoutedDeg" +
+      s"routed_anchor_members_deg$deg" +
         (if (metric == "l2") "" else s"_$metric")) {
       // membership comes from the METRIC's graph (an anchor outside it
       // scores but never expands); the cell→member mapping itself stays
       // L2 — it mirrors the quantizer's own geometry
-      val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
+      val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= deg)
       val members = edges.select(col("src")).distinct()
       val base = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
@@ -267,6 +278,7 @@ object HnswQs3 {
         "l2", 1)
         .select(col("bid")).distinct()
     }
+  }
 
   /** The routed search, metric-general (r7 item 3): edges, seed
     * ranking and the beam all score with `metric` (dist =
@@ -274,7 +286,8 @@ object HnswQs3 {
     * variant feeds the sweep's visited column. */
   private[graft] def routedSearchCounted(s: SparkSession, dir: String,
       metric: String): (DataFrame, Long) = {
-    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
+    val (ef, rounds, ents, deg) = routedKnobsFor(s, dir)
+    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= deg)
       .select(col("src"), col("dst")).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
@@ -284,7 +297,6 @@ object HnswQs3 {
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
     val anchors = routedAnchors(s, dir, metric)
-    val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
       .union(graft.operators.TopK.perGroup(
         queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
@@ -298,8 +310,35 @@ object HnswQs3 {
     (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited)
   }
 
+  /** Persisted (result rows + visited_total + build_wall_ms) of the
+    * counted routed search — built once per (dir, metric, resolved
+    * knobs) and loaded thereafter (lesson 20: deterministic search
+    * diagnostics over persisted indexes are artifacts). The quality
+    * sweep's routed row consumes this instead of re-executing the full
+    * search that graph_routed_search_ip already runs live in the same
+    * bench pass (r9 verdict item 4). wall_ms is the wall clock of the
+    * ONE build-time execution — measured latency, measured once; Bench
+    * warms the artifact with the other indexes so sweep timings never
+    * include the build. Keyed by every resolved knob, so a rule change
+    * can never serve a stale operating point. */
+  private[graft] def routedCountedArtifact(s: SparkSession, dir: String,
+      metric: String): DataFrame = {
+    val (ef, rounds, ents, deg) = routedKnobsFor(s, dir)
+    graft.operators.ProjIndex.ensureTable(s, dir,
+      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d$deg") {
+      val t0 = System.nanoTime()
+      val (res, visited) = routedSearchCounted(s, dir, metric)
+      val rows = res.localCheckpoint()
+      rows.count() // force the search so wall_ms covers execution
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      rows.withColumn("visited_total", lit(visited))
+        .withColumn("build_wall_ms", lit(wallMs))
+    }
+  }
+
   private def routedSearch(s: SparkSession, dir: String, metric: String): DataFrame = {
-    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
+    val (ef, rounds, ents, deg) = routedKnobsFor(s, dir)
+    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= deg)
       .select(col("src"), col("dst")).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
@@ -309,7 +348,6 @@ object HnswQs3 {
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
     val anchors = routedAnchors(s, dir, metric)
-    val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
       .union(graft.operators.TopK.perGroup(
         queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
@@ -330,10 +368,10 @@ object HnswQs3 {
   private def routedSql(metric: String): String = s"""
       WITH ${HnswQs.sqlRichCtesFor(metric)},
       ${SqlIvf.sizedCtes("vec_id % 50 <> 0", 2, "s")},
-      proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= $RoutedDeg),
       qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
       ${sqlRoutedKnobs},
+      proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= (SELECT dg FROM rknobs)),
       hub AS (SELECT src AS ebid FROM (
                 SELECT src, COUNT(*) AS d FROM proj GROUP BY src)
               ORDER BY d DESC, src LIMIT 1),

@@ -237,8 +237,10 @@ object VectorQs {
   val recallEval = Q(
     "recall_eval",
     (s, dir) => {
-      val cos = gtTopk(s, dir, "cosine").select(col("qid"), col("bid"))
-      val ip = gtTopk(s, dir, "ip").select(col("qid"), col("bid").as("bid2"))
+      // recall@10 by definition — depth pinned at 10 on both sides so
+      // the /10.0 denominator stays correct under SPARK_GRAFT_GT_K
+      val cos = gtTopk(s, dir, "cosine", 10).select(col("qid"), col("bid"))
+      val ip = gtTopk(s, dir, "ip", 10).select(col("qid"), col("bid").as("bid2"))
       cos.join(ip, cos("qid") === ip("qid") && col("bid") === col("bid2"), "left")
         .groupBy(cos("qid").as("qid"))
         .agg((count(col("bid2")) / lit(10.0)).as("recall"))
@@ -248,10 +250,10 @@ object VectorQs {
       WITH $SQL_Q, $SQL_B,
       sc AS (SELECT qid, bid, ${sqlScore("cosine")} AS score FROM b CROSS JOIN q),
       rc AS (SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS rnk FROM sc),
-      tc AS (SELECT qid, bid FROM rc WHERE rnk <= $K),
+      tc AS (SELECT qid, bid FROM rc WHERE rnk <= 10),
       si AS (SELECT qid, bid, ${sqlScore("ip")} AS score FROM b CROSS JOIN q),
       ri AS (SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS rnk FROM si),
-      ti AS (SELECT qid, bid FROM ri WHERE rnk <= $K)
+      ti AS (SELECT qid, bid FROM ri WHERE rnk <= 10)
       SELECT tc.qid AS qid, COUNT(ti.bid) / 10.0 AS recall
       FROM tc LEFT JOIN ti ON tc.qid = ti.qid AND tc.bid = ti.bid
       GROUP BY tc.qid

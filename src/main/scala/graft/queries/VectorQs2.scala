@@ -202,7 +202,11 @@ object VectorQs2 {
       // localCheckpoint: the member table self-joins, and
       // DeduplicateRelations cannot re-instance the custom
       // VectorTopKJoin node appearing on both sides
-      val top10 = VectorQs.gtTopk(s, dir, "cosine")
+      // depth pinned at 10 (advice r9): the flattened distance-matrix
+      // index below is (r1-1)*10 + r2, which collides for lists deeper
+      // than 10 — the SPARK_GRAFT_GT_K env knob must never reach this
+      // build (the corrupted graph would persist via ProjIndex)
+      val top10 = VectorQs.gtTopk(s, dir, "cosine", 10)
         .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         .localCheckpoint()
       val vecs = Tables.t(s, dir, "embeddings")

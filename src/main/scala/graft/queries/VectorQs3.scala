@@ -52,27 +52,33 @@ object VectorQs3 {
     }
   }
 
-  /** nprobe=4 routed search, exact rerank within probed cells — over
-    * the PERSISTED IVF index (IndexStore.loadIvf). Oracle'd (round 3):
-    * the oracle re-derives the same quantizer via SqlIvf and routes
-    * identically, which also guards the persisted artifact against
-    * staleness. */
+  /** Routed search with a DATA-SIZED probe width (nprobe² ≥ cells —
+    * Ivf.nprobeFor: 4 at the 16-cell test SFs, 16 at 256 cells/1M, 32
+    * at 1024 cells/10M), exact rerank within probed cells — over the
+    * PERSISTED IVF index (IndexStore.loadIvf). Oracle'd (round 3): the
+    * oracle re-derives the same quantizer via SqlIvf, computes the
+    * same nprobe in its `bnp` CTE, and routes identically, which also
+    * guards the persisted artifact against staleness. */
   val ivfSearch = Q(
     "ivf_search",
     (s, dir) => {
       val (cents, base) = baseIvf(s, dir)
+      val np = Ivf.nprobeFor(Ivf.cellsFor(Tables.baseCount(s, dir)))
       val queries = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Ivf.search(base, cents, queries, nprobe = 4, k = 10)
+      Ivf.search(base, cents, queries, nprobe = np, k = 10)
         .orderBy(col("qid"), col("rnk"))
     },
     Some(s"""
       WITH ${SqlIvf.sizedCtes("vec_id % 50 <> 0", Iters, "b")},
+      bnp AS (SELECT COALESCE(
+          (SELECT MIN(pw) FROM (SELECT UNNEST([4::BIGINT, 8, 16, 32, 64, 128, 256]) AS pw), bkk
+           WHERE pw >= k OR pw * pw >= k), 256) AS np FROM bkk),
       q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       pr AS (SELECT qid, cid FROM (
                SELECT q.qid, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${Vec.sqlL2sq("q.qv", "c.cv")}, c.cid) AS rn
-               FROM q CROSS JOIN bcents c) WHERE rn <= 4),
+               FROM q CROSS JOIN bcents c) WHERE rn <= (SELECT np FROM bnp)),
       cand AS (SELECT q.qid, e.vec_id AS bid, sqrt(${Vec.sqlL2sq("q.qv", "e.v")}) AS dist
                FROM pr JOIN bassign a ON a.cid = pr.cid
                JOIN be e ON e.vec_id = a.vec_id

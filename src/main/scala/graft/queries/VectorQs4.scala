@@ -196,6 +196,15 @@ object VectorQs4 {
   private val AdaptMaxProbe = 4
   private val AdaptTopK = 10
 
+  /** The adaptive rule's probe CEILING, data-sized like ivf_search's
+    * fixed nprobe (Ivf.nprobeFor: 4 at the 16-cell test SFs — hashes
+    * unchanged — 16 at 256 cells, 32 at 1024): with a √N-sized
+    * quantizer a fixed cap of 4 starves recall at 10M (measured 0.243)
+    * while the α-filter still prunes easy queries below the cap. */
+  private def adaptCapFor(s: SparkSession, dir: String): Int =
+    math.max(AdaptMaxProbe,
+      graft.operators.Ivf.nprobeFor(graft.operators.Ivf.cellsFor(Tables.baseCount(s, dir))))
+
   /** Per-query ADAPTIVE nprobe: probe the nearest cell always, and any
     * further cell whose centroid distance² is within α·d²_min
     * (α = 1.08 — the measured d²₂/d²₁ median on this corpus is 1.05,
@@ -221,7 +230,7 @@ object VectorQs4 {
         q.crossJoin(broadcast(cents))
           .select(col("qid").as("g"), col("cid"),
             Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
-        "g", "cid", "d2", AdaptMaxProbe, asc = true)
+        "g", "cid", "d2", adaptCapFor(s, dir), asc = true)
         .select(col("g").as("qid"), col("cid"), col("rnk"), col("d2"))
         .localCheckpoint() // feeds the d2min self-join twice
       val d2min = ranked.filter(col("rnk") === 1)
@@ -248,7 +257,10 @@ object VectorQs4 {
                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
              FROM (SELECT q.qid, c.cid, ${Vec.sqlL2sq("q.qv", "c.cv")} AS d2
                    FROM q CROSS JOIN scents c)),
-      rk4 AS (SELECT qid, cid, d2, rn FROM rk WHERE rn <= $AdaptMaxProbe),
+      snp AS (SELECT GREATEST($AdaptMaxProbe, COALESCE(
+          (SELECT MIN(pw) FROM (SELECT UNNEST([4::BIGINT, 8, 16, 32, 64, 128, 256]) AS pw), skk
+           WHERE pw >= k OR pw * pw >= k), 256)) AS np FROM skk),
+      rk4 AS (SELECT qid, cid, d2, rn FROM rk WHERE rn <= (SELECT np FROM snp)),
       dmin AS (SELECT qid, d2 AS d2min FROM rk4 WHERE rn = 1),
       pr AS (SELECT rk4.qid, rk4.cid
              FROM rk4 JOIN dmin ON dmin.qid = rk4.qid

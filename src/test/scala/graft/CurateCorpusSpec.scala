@@ -52,10 +52,21 @@ class CurateCorpusSpec extends AnyFunSuite with SharedSpark {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // fresh dedup artifact for this corpus (ProjIndex keys artifacts by
     // sanitized dir under the index root; the planted corpus must never
-    // reuse a stale pairs table from an earlier corpus layout)
-    val idxRoot = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
-    val idx = new java.io.File(s"$idxRoot/v3/" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // reuse a stale pairs table from an earlier corpus layout). Resolve
+    // the versioned path through ProjIndex (advice r9: a hardcoded
+    // version segment turns into a no-op delete when Version bumps),
+    // and ALSO sweep the same sanitized-dir subtree under any other
+    // version so an edited fixture can never replay against a stale
+    // artifact from a pre-bump run.
+    val idx = new java.io.File(graft.operators.ProjIndex.tablePath(dir, ""))
     if (idx.exists()) org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    val idxRoot = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index"))
+    val dtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Option(idxRoot.listFiles()).getOrElse(Array.empty).foreach { ver =>
+      val sub = new java.io.File(ver, dtag)
+      if (sub.exists()) org.apache.commons.io.FileUtils.deleteDirectory(sub)
+    }
     val res = CurationQs.curateCorpus.fn(spark, dir)
       .localCheckpoint()
     val got = res.collect()

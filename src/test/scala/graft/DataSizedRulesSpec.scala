@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 data-sized rule invariants (pure integer functions — the
+  * oracle CTEs compute the same CASE ladders, so the values pinned
+  * here are the cross-engine contract):
+  *  - every rule returns its r9-validated value at test SF / 1M so no
+  *    oracle hash can move;
+  *  - the 10M values are the round-10 operating point (richK 96,
+  *    traversal degree 48, nprobe 32 at 1024 cells).
+  */
+class DataSizedRulesSpec extends AnyFunSuite {
+
+  test("richKFor: 48 through 1M, 96 beyond (oracle rkn CASE)") {
+    assert(queries.HnswQs.richKFor(1000L) === 48)
+    assert(queries.HnswQs.richKFor(1000000L) === 48)
+    assert(queries.HnswQs.richKFor(1000001L) === 96)
+    assert(queries.HnswQs.richKFor(10000000L) === 96)
+  }
+
+  test("routedDegFor: 32 through 1M, stored RichDeg=48 beyond (oracle rknobs.dg)") {
+    assert(queries.HnswQs3.routedDegFor(1000L) === 32)
+    assert(queries.HnswQs3.routedDegFor(1000000L) === 32)
+    assert(queries.HnswQs3.routedDegFor(10000000L) === 48)
+    // the sized traversal degree can never exceed the stored erk cap
+    assert(queries.HnswQs3.routedDegFor(Long.MaxValue) <= queries.HnswQs.RichDeg)
+  }
+
+  test("nprobeFor: smallest power of two with p*p >= cells, floor 4 (oracle bnp/snp)") {
+    assert(graft.operators.Ivf.nprobeFor(16) === 4)
+    assert(graft.operators.Ivf.nprobeFor(64) === 8)
+    assert(graft.operators.Ivf.nprobeFor(256) === 16)
+    assert(graft.operators.Ivf.nprobeFor(1024) === 32)
+    assert(graft.operators.Ivf.nprobeFor(65536) === 256)
+    // nprobe never exceeds the cell count (tiny quantizers)
+    (Seq(16, 32, 64) ++ Seq(128)).foreach { c =>
+      assert(graft.operators.Ivf.nprobeFor(c) <= c)
+    }
+  }
+
+  test("cells/nprobe composition at the measured scale points") {
+    // test SF (~4k base): 16 cells, nprobe 4 — every sf hash unchanged
+    assert(graft.operators.Ivf.cellsFor(4000L) === 16)
+    assert(graft.operators.Ivf.nprobeFor(16) === 4)
+    // 1M: 256 cells, nprobe 16 (the measured 0.859-recall 1M point)
+    assert(graft.operators.Ivf.cellsFor(1000000L) === 256)
+    assert(graft.operators.Ivf.nprobeFor(256) === 16)
+    // 10M: 1024 cells, nprobe 32
+    assert(graft.operators.Ivf.cellsFor(10000000L) === 1024)
+    assert(graft.operators.Ivf.nprobeFor(1024) === 32)
+  }
+}
