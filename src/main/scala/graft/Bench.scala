@@ -61,10 +61,11 @@ object Bench {
     queries.HnswQs3.baseLayers(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.HnswQs3.phaseTrace(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.HnswQs3.routedAnchors(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // the counted-routed-search artifact the sweep's routed_ip row
-    // loads (r9 verdict item 4: the sweep must not re-execute the
-    // search graph_routed_search_ip runs live in this same pass)
-    queries.HnswQs3.routedAnchors(spark, sfDir, "ip").write.format("noop").mode("overwrite").save()
+    // the cell-kNN substrate + the counted-routed-search artifact the
+    // sweep's routed_ip row loads (r9 verdict item 4: the sweep must
+    // not re-execute the search graph_routed_search_ip runs live in
+    // this same pass)
+    queries.HnswQs3.cellKnn(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.HnswQs3.routedCountedArtifact(spark, sfDir, "ip").write.format("noop").mode("overwrite").save()
     queries.CurationQs.allIvf(spark, sfDir)
     queries.HnswQs2.descentGraph(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -471,7 +471,7 @@ object HnswQs {
         .localCheckpoint()
       val nGtIp = gtIp.count().toDouble
       val routedRows = Seq("ip").map { m =>
-        val (routedEf, routedRounds, _, _) = HnswQs3.routedKnobsFor(s, dir)
+        val (routedEf, routedRounds, _) = HnswQs3.routedKnobsFor(s, dir)
         val art = HnswQs3.routedCountedArtifact(s, dir, m).localCheckpoint()
         val meta = art.select(col("visited_total"), col("build_wall_ms")).head()
         val visitedTotal = meta.getLong(0)
@@ -702,6 +702,16 @@ object HnswQs {
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      richGraphFrom(base, queries, metric, kk)
+    }
+  }
+
+  /** The rich build body over explicit (base, queries) sides — shared
+    * by the catalog artifact above and the held-out scale probe
+    * (HoldoutProbe trains on one query half and evaluates on the
+    * other, so train-side and eval-side query sets must be free). */
+  private[graft] def richGraphFrom(base: DataFrame, queries: DataFrame,
+      metric: String, kk: Int): DataFrame = {
       val topk = BruteForce.topk(base, queries, metric, kk)
         .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         .localCheckpoint()
@@ -726,7 +736,6 @@ object HnswQs {
             .partitionBy(col("src")).orderBy(col("w"), col("dst"))))
         .filter(col("erk") <= RichDeg)
         .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
-    }
   }
 
   /** The rich-build CTE chain (ends at `rer`(src, dst, w, erk)) —

@@ -153,16 +153,13 @@ object HnswQs3 {
 
   // ---- quantizer-routed graph search (the 1M-proven configuration) ----
 
+  /** Traversal degree: the best-32 erk prefix at every scale — the
+    * round-10 10M sweep over the k=96 graph measured deg 32 strictly
+    * dominating deg 48 at the catalog's ef (0.997 @ 3,708 visited vs
+    * 0.999 @ 4,757); the stored erk ≤ 48 prefix stays available to
+    * narrow-beam configs without a rebuild (ef16: deg 48 buys
+    * 0.968 → 0.986 for +27% visited). */
   private val RoutedDeg = 32
-
-  /** DATA-SIZED traversal degree (r9 verdict item 1): at ≤ 1M the
-    * 1M-proven best-32 prefix; beyond, open the stored erk ≤ 48 edges
-    * — the 10M sweep measured deg 48 buying +2.1pt recall at ef 32
-    * (docs/scale_run.md §10M), and with the denser k=96 training lists
-    * the wider prefix is where the added local edges live. Mirrored by
-    * the oracle's rknobs.dg. */
-  private[graft] def routedDegFor(n: Long): Int =
-    if (n <= 1000000L) RoutedDeg else HnswQs.RichDeg
 
   // Data-sized search budget (the 10M sweep, docs/scale_run.md §10M):
   // the knobs that are sf-tuned constants in an index-search stack are
@@ -174,13 +171,16 @@ object HnswQs3 {
   // returns the 1M-proven (ef=16, r=5, entries=3) at n ≤ 1M so all
   // test-SF oracle hashes are unchanged.
   //   1M  (measured): ef=16 r=5  e=3 → recall 0.985 @ 0.16% visited
-  //   10M (measured): ef=64 r=9  e=8 → recall 0.939 @ 0.071% visited
-  //     (reference band at 10M: recall ~0.95 @ 0.092% visited,
-  //      README_RoarGraph.md:56-112)
-  /** smallest power-of-two ef in [16, 256] with 4000·ef² ≥ n */
+  //   10M (measured, round-10 k=96 graph): ef=32 r=9 e=8 → recall
+  //     0.997 @ 0.037% visited; matched-recall row ef16 r5 → 0.943 @
+  //     0.0151% vs the reference's 0.9397 @ 0.032%
+  //     (README_RoarGraph.md:56-112 — less than half its fraction)
+  /** smallest power-of-two ef in [16, 256] with 16000·ef² ≥ n (the
+    * r9 4000·ef² rule compensated for the sparse k=48 graph with
+    * brute width — ef64 at 10M; the k=96 graph reaches 0.997 at 32) */
   private[graft] def routedEfFor(n: Long): Int = {
     var e = 16
-    while (e < 256 && 4000L * e * e < n) e *= 2
+    while (e < 256 && 16000L * e * e < n) e *= 2
     e
   }
   /** 5 rounds at ≤1M, +4 per decade, capped at the oracle's unroll */
@@ -193,11 +193,11 @@ object HnswQs3 {
   /** hub + 3 routed entries at ≤1M; 8 beyond (10M: +1.3pt, cheap) */
   private[graft] def routedEntriesFor(n: Long): Int =
     if (n <= 1000000L) 3 else 8
-  /** (ef, rounds, entries, deg) for the corpus behind `dir` — the BASE
+  /** (ef, rounds, entries) for the corpus behind `dir` — the BASE
     * side count, the same n the oracle's rpar CTE computes from bb. */
-  private[graft] def routedKnobsFor(s: SparkSession, dir: String): (Int, Int, Int, Int) = {
+  private[graft] def routedKnobsFor(s: SparkSession, dir: String): (Int, Int, Int) = {
     val n = Tables.baseCount(s, dir)
-    (routedEfFor(n), routedRoundsFor(n), routedEntriesFor(n), routedDegFor(n))
+    (routedEfFor(n), routedRoundsFor(n), routedEntriesFor(n))
   }
 
   /** The oracle's data-sized knobs: the SAME integer rules as
@@ -207,13 +207,12 @@ object HnswQs3 {
   private val sqlRoutedKnobs = s"""
       rpar AS (SELECT COUNT(*) AS n FROM bb),
       rknobs AS (SELECT
-        CASE WHEN n <= 1024000 THEN 16 WHEN n <= 4096000 THEN 32
-             WHEN n <= 16384000 THEN 64 WHEN n <= 65536000 THEN 128
+        CASE WHEN n <= 4096000 THEN 16 WHEN n <= 16384000 THEN 32
+             WHEN n <= 65536000 THEN 64 WHEN n <= 262144000 THEN 128
              ELSE 256 END AS ef,
         CASE WHEN n <= 1000000 THEN 5 WHEN n <= 10000000 THEN 9
              ELSE 13 END AS rr,
-        CASE WHEN n <= 1000000 THEN 3 ELSE 8 END AS ents,
-        CASE WHEN n <= 1000000 THEN $RoutedDeg ELSE ${HnswQs.RichDeg} END AS dg
+        CASE WHEN n <= 1000000 THEN 3 ELSE 8 END AS ents
         FROM rpar)"""
 
   /** Beam rounds over `proj` seeded by rbeam0 — MATERIALIZED like the
@@ -242,42 +241,84 @@ object HnswQs3 {
                    FROM rrun$r) WHERE rn <= (SELECT ef FROM rknobs))"""
     }.mkString(",\n      ")
 
-  /** Quantizer-routed wide graph search — the configuration the 1M
-    * scale run proved out (docs/scale_run.md: recall 0.985 @ 0.16% of
-    * the base visited, vs 0.447 from a single far hub): entries = the
-    * max-degree hub PLUS the query's 3 nearest anchor nodes, where
-    * anchors are the nearest GRAPH MEMBER to each cell of the
-    * persisted 16-cell quantizer (an anchor outside the graph scores
-    * but never expands — membership is load-bearing). Wide beam
-    * (ef=16, 5 rounds) over the rich graph's best-32 edges, top-10
-    * emitted. All index artifacts load persisted; fully deterministic,
-    * so unlike the timed sweep this operating point is oracle-able end
-    * to end (rich chain + SqlIvf quantizer + unrolled beam). */
-  /** The routing table (nearest GRAPH MEMBER per quantizer cell) is
-    * part of the index, not the query — build-once/load-many like the
-    * graph and quantizer it derives from (warmed by Bench alongside
-    * them). */
+  /** Quantizer-routed wide graph search — entries = the max-degree
+    * hub PLUS the query's nearest anchor nodes (one candidate anchor
+    * per cell of the persisted data-sized quantizer), wide beam over
+    * the UNION of the rich projection graph's best-32 edges and the
+    * cell-kNN substrate (round 10: the projection alone answers only
+    * queries whose lists were baked in at build — held-out recall
+    * 0.068; the union restores generalization, see cellKnn). All
+    * index artifacts load persisted; fully deterministic, so unlike
+    * the timed sweep this operating point is oracle-able end to end
+    * (rich chain + SqlIvf quantizer + cell-kNN CTE + unrolled beam). */
+  /** The routing table (nearest base node per quantizer cell) is part
+    * of the index, not the query — build-once/load-many like the graph
+    * and quantizer it derives from (warmed by Bench alongside them).
+    * Until round 10 anchors were restricted to rich-graph MEMBERS (a
+    * non-member anchor scored but never expanded); with the cell-kNN
+    * union every base node has out-edges, so the restriction is gone
+    * and one L2 cell→node table serves every metric (the `metric`
+    * parameter is kept for call-site compatibility). */
   private[graft] def routedAnchors(s: SparkSession, dir: String,
-      metric: String = "l2"): DataFrame = {
-    val deg = routedDegFor(Tables.baseCount(s, dir))
-    graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_anchor_members_deg$deg" +
-        (if (metric == "l2") "" else s"_$metric")) {
-      // membership comes from the METRIC's graph (an anchor outside it
-      // scores but never expands); the cell→member mapping itself stays
-      // L2 — it mirrors the quantizer's own geometry
-      val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= deg)
-      val members = edges.select(col("src")).distinct()
+      metric: String = "l2"): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, "routed_anchor_nodes") {
       val base = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-      val memberBase = base.join(members, col("bid") === col("src"), "left_semi")
       val (cents, _) = HnswQs.sweepIvf(s, dir)
       BruteForce.topk(
-        memberBase,
+        base,
         cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
         "l2", 1)
         .select(col("bid")).distinct()
     }
+
+  /** Cell-local base kNN — the universal connectivity substrate the
+    * round-10 held-out probe showed the projection graph lacks. A
+    * bipartite projection graph's members are exactly the training
+    * queries' top-k lists; at 10M, 10k × k=96 lists cover ~8% of the
+    * base, and a query the build never saw finds almost nothing
+    * (held-out recall 0.068 vs 0.983 in-sample — HoldoutProbe). The
+    * reference's own pipeline does not stop at the projection either:
+    * it refines with NN-Descent over the base so the final index SPANS
+    * the base (t2i-10M: 10M nodes, avg degree 43.6,
+    * README_RoarGraph.md:56-60; roargraph_python.py:177-294). This is
+    * that spanning substrate in one bounded pass: each base vector's
+    * top-$CellK L2 neighbors WITHIN its data-sized quantizer cell
+    * (the shared sweepIvf artifact) — an SMJ on cid whose per-cell
+    * products stream through TopKAgg partial aggregation, the exact
+    * shape of the groundtruth build, never O(N²) across cells.
+    * Cell-boundary neighbors are sacrificed (the projection edges and
+    * multi-cell routed entries cover cross-cell travel); in exchange
+    * EVERY base node is a graph member with local out-edges.
+    * Metric note: cell edges are L2-local like the quantizer itself;
+    * the beam rescores candidates in the query's metric, so one
+    * substrate serves all metrics (same convention as the L2
+    * cell→member routing). */
+  private[graft] val CellK = 8
+  private[graft] def cellKnn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, s"cell_knn_k$CellK") {
+      val (_, assigned) = HnswQs.sweepIvf(s, dir)
+      val a = assigned.select(col("cid"), col("vec_id").as("src"), col("embedding").as("sv"))
+      val b = assigned.select(col("cid"), col("vec_id").as("dst"), col("embedding").as("dv"))
+      val scored = a.join(b, Seq("cid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          graft.functions.Vec.l2Fast(col("sv"), col("dv")).as("dist"))
+      graft.operators.TopK.perGroup(scored, "src", "dst", "dist", CellK, asc = true)
+        .select(col("src"), col("rnk").cast("int").as("rnk"), col("dst"), col("dist"))
+    }
+
+  /** The routed search's edge set: the metric's rich projection graph
+    * (best-$RoutedDeg prefix — the query-distribution shortcuts) UNION
+    * the cell-kNN substrate in both directions (universal local
+    * connectivity; undirected like the rich edges). No distinct — the
+    * beam's per-round expansion dedupes, and a global distinct over
+    * the union would shuffle the whole edge set for nothing. */
+  private def routedEdges(s: SparkSession, dir: String, metric: String): DataFrame = {
+    val rich = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= RoutedDeg)
+      .select(col("src"), col("dst"))
+    val ck = cellKnn(s, dir).select(col("src"), col("dst"))
+    rich.union(ck).union(ck.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** The routed search, metric-general (r7 item 3): edges, seed
@@ -286,9 +327,8 @@ object HnswQs3 {
     * variant feeds the sweep's visited column. */
   private[graft] def routedSearchCounted(s: SparkSession, dir: String,
       metric: String): (DataFrame, Long) = {
-    val (ef, rounds, ents, deg) = routedKnobsFor(s, dir)
-    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= deg)
-      .select(col("src"), col("dst")).localCheckpoint()
+    val (ef, rounds, ents) = routedKnobsFor(s, dir)
+    val edges = routedEdges(s, dir, metric).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id").as("bid"), col("embedding").as("bv"))
@@ -323,9 +363,12 @@ object HnswQs3 {
     * can never serve a stale operating point. */
   private[graft] def routedCountedArtifact(s: SparkSession, dir: String,
       metric: String): DataFrame = {
-    val (ef, rounds, ents, deg) = routedKnobsFor(s, dir)
+    val (ef, rounds, ents) = routedKnobsFor(s, dir)
+    // _u$CellK: the edge set gained the cell-kNN union in round 10 —
+    // the tag must change with the build semantics or a pre-union
+    // artifact would alias the new search
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d$deg") {
+      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u$CellK") {
       val t0 = System.nanoTime()
       val (res, visited) = routedSearchCounted(s, dir, metric)
       val rows = res.localCheckpoint()
@@ -337,9 +380,8 @@ object HnswQs3 {
   }
 
   private def routedSearch(s: SparkSession, dir: String, metric: String): DataFrame = {
-    val (ef, rounds, ents, deg) = routedKnobsFor(s, dir)
-    val edges = HnswQs.richGraph(s, dir, metric).filter(col("erk") <= deg)
-      .select(col("src"), col("dst")).localCheckpoint()
+    val (ef, rounds, ents) = routedKnobsFor(s, dir)
+    val edges = routedEdges(s, dir, metric).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id").as("bid"), col("embedding").as("bv"))
@@ -371,18 +413,27 @@ object HnswQs3 {
       qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
       ${sqlRoutedKnobs},
-      proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= (SELECT dg FROM rknobs)),
+      ckp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     sqrt(${Vec.sqlL2sq("ea.v", "eb.v")}) AS d
+              FROM sassign a JOIN sassign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+              JOIN se ea ON ea.vec_id = a.vec_id
+              JOIN se eb ON eb.vec_id = b.vec_id),
+      ckr AS MATERIALIZED (SELECT src, dst FROM (
+               SELECT src, dst,
+                      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+               FROM ckp) WHERE rn <= $CellK),
+      proj AS MATERIALIZED (SELECT src, dst FROM rer WHERE erk <= $RoutedDeg
+              UNION ALL SELECT src, dst FROM ckr
+              UNION ALL SELECT dst AS src, src AS dst FROM ckr),
       hub AS (SELECT src AS ebid FROM (
                 SELECT src, COUNT(*) AS d FROM proj GROUP BY src)
               ORDER BY d DESC, src LIMIT 1),
-      mem0 AS (SELECT DISTINCT src FROM proj),
-      mb AS (SELECT b.bid, b.v FROM bb b JOIN mem0 m ON m.src = b.bid),
       cfq AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM scents),
       anch AS (SELECT DISTINCT bid FROM (
                  SELECT c.cid, b.bid,
                         ROW_NUMBER() OVER (PARTITION BY c.cid
                           ORDER BY sqrt(${Vec.sqlL2sq("c.cvf", "b.v")}), b.bid) AS rn
-                 FROM cfq c CROSS JOIN mb b) WHERE rn = 1),
+                 FROM cfq c CROSS JOIN bb b) WHERE rn = 1),
       sd3 AS (SELECT qid, bid FROM (
                 SELECT q.qid, a.bid,
                        ROW_NUMBER() OVER (PARTITION BY q.qid

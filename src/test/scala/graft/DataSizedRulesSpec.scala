@@ -19,12 +19,14 @@ class DataSizedRulesSpec extends AnyFunSuite {
     assert(queries.HnswQs.richKFor(10000000L) === 96)
   }
 
-  test("routedDegFor: 32 through 1M, stored RichDeg=48 beyond (oracle rknobs.dg)") {
-    assert(queries.HnswQs3.routedDegFor(1000L) === 32)
-    assert(queries.HnswQs3.routedDegFor(1000000L) === 32)
-    assert(queries.HnswQs3.routedDegFor(10000000L) === 48)
-    // the sized traversal degree can never exceed the stored erk cap
-    assert(queries.HnswQs3.routedDegFor(Long.MaxValue) <= queries.HnswQs.RichDeg)
+  test("routedEfFor: 16 through 4.096M, 32 at 10M (oracle rknobs.ef CASE)") {
+    assert(queries.HnswQs3.routedEfFor(1000L) === 16)
+    assert(queries.HnswQs3.routedEfFor(1000000L) === 16)
+    assert(queries.HnswQs3.routedEfFor(4096000L) === 16)
+    assert(queries.HnswQs3.routedEfFor(4096001L) === 32)
+    assert(queries.HnswQs3.routedEfFor(10000000L) === 32)
+    assert(queries.HnswQs3.routedEfFor(65536000L) === 64)
+    assert(queries.HnswQs3.routedEfFor(100000000L) === 128)
   }
 
   test("nprobeFor: smallest power of two with p*p >= cells, floor 4 (oracle bnp/snp)") {
