@@ -98,6 +98,15 @@ object Bench {
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // intra-query caches must not leak across timings
+        // localCheckpoint blocks are RDD persistence, not SQL cache:
+        // they linger until GC + ContextCleaner get around to them, so
+        // iterative queries early in the alphabet (the sweep, the dedup
+        // pipelines) leave the block manager full for everything after
+        // them — the r9 verdict measured knn_descent +2.3 s with
+        // byte-identical code. Nothing memoizes a checkpointed DF
+        // across queries (artifacts are parquet-backed), so dropping
+        // them between timings is safe.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) dt else -1.0 // a failed query reports sentinel -1, never its partial elapsed
       }
       val ok = times.forall(_ >= 0)

