@@ -44,6 +44,11 @@ object ScaleRun {
     val nBase = if (args.length > 1) args(1).toLong else 1000000L
     val nQ = if (args.length > 2) args(2).toLong else 1000L
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    // corpus dimensionality (r9 verdict item 7: the reference's t2i
+    // corpus is 200d; both prior scale runs were 64d). Every operator
+    // downstream is dim-general — the LSH plane banks size themselves
+    // from the corpus via Tables.embDim/Lsh.bandPlanesFor.
+    val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Tables.session("graft-scale", cpus)
     import org.apache.hadoop.fs.Path
@@ -63,7 +68,7 @@ object ScaleRun {
     val fs = new Path(embPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(embPath, "_SUCCESS"))) {
       val (_, tGen) = time {
-        val raw = SynthData.clustered(spark, nBase + nQ, dim = 64, nModalities = 8, seed = 42L)
+        val raw = SynthData.clustered(spark, nBase + nQ, dim = dim, nModalities = 8, seed = 42L)
         // plant exact duplicates: ~1% of base rows copy their
         // successor's vector, so the near-dup operators have real work
         // and blocking recall is checkable (found == planted)
@@ -306,14 +311,14 @@ object ScaleRun {
       val bc = org.apache.spark.sql.graftbridge.Bridge
       val theta = 0.985
       val mean = emb.select(
-        (0 until 64).map(d => avg(element_at(col("embedding"), d + 1)).as(s"m$d")): _*)
+        (0 until dim).map(d => avg(element_at(col("embedding"), d + 1)).as(s"m$d")): _*)
         .head()
-      val meanArr = array((0 until 64).map(d => lit(mean.getDouble(d))): _*)
+      val meanArr = array((0 until dim).map(d => lit(mean.getDouble(d))): _*)
       val nd = bench("dedup_embedding_32bit") {
         val centered = emb.select(col("vec_id"), col("embedding"),
           zip_with(col("embedding").cast("array<double>"), meanArr, (x, m) => x - m).as("cv"))
         val sigs = centered.select(col("vec_id"), col("embedding"),
-          bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")))).as("ks"))
+          bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")), dim = dim)).as("ks"))
           .localCheckpoint()
         val wide = sigs.select(col("vec_id"), col("embedding"),
           explode(expr("transform(sequence(0, 1), b -> named_struct('band_idx', b, " +

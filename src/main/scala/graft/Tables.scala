@@ -36,6 +36,18 @@ object Tables {
       t(spark, dir, "embeddings")
         .filter(org.apache.spark.sql.functions.col("vec_id") % 50 =!= 0).count())
 
+  /** Embedding dimensionality of a corpus — drives the LSH plane-bank
+    * width (Lsh.bandPlanesFor) so a 200d corpus hashes all 200
+    * components instead of a 64-prefix. One first-row probe, memoized
+    * per dir like baseCount (corpora are write-once). */
+  private val embDims = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  def embDim(spark: SparkSession, dir: String): Int =
+    embDims.computeIfAbsent(dir, _ =>
+      t(spark, dir, "embeddings")
+        .select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")))
+        .head().getInt(0))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
     * a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
     * Normalize to a microsecond TIMESTAMP (`ts div 1000` — exact long

@@ -281,14 +281,20 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * planes in one deterministic stream): 64 for the 16×4 / 2×32 tiers
   * (the default — byte-identical to the pre-round-9 expression), 192
   * for the wide 4×48 tier a multi-million-row corpus needs.
+  *
+  * `dim` sizes the plane bank to the corpus dimensionality
+  * (Lsh.bandPlanesFor — 64 reproduces the historical bank exactly; a
+  * 200d corpus hashes all 200 components instead of a 64-prefix).
   */
 case class LshBandKeys(child: Expression,
-    nPlanes: Int = graft.operators.Lsh.PairBands * graft.operators.Lsh.PairBandBits)
+    nPlanes: Int = graft.operators.Lsh.PairBands * graft.operators.Lsh.PairBandBits,
+    dim: Int = graft.operators.Lsh.Dim)
     extends UnaryExpression with CodegenFallback {
 
   import graft.operators.Lsh
   require(nPlanes % Lsh.PairBandBits == 0 && nPlanes <= Lsh.PairAllPlanes,
     s"nPlanes $nPlanes must be a nibble multiple within the ${Lsh.PairAllPlanes}-plane bank")
+  require(dim > 0, s"dim must be positive, got $dim")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -304,13 +310,14 @@ case class LshBandKeys(child: Expression,
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  // flat plane bank: planes(j)(d) at j * Dim + d
+  // flat plane bank: planes(j)(d) at j * dim + d
   @transient private lazy val flatPlanes: Array[Double] = {
-    val out = new Array[Double](nPlanes * Lsh.Dim)
+    val bank = Lsh.bandPlanesFor(dim)
+    val out = new Array[Double](nPlanes * dim)
     var j = 0
     while (j < nPlanes) {
       var d = 0
-      while (d < Lsh.Dim) { out(j * Lsh.Dim + d) = Lsh.bandPlanes(j)(d); d += 1 }
+      while (d < dim) { out(j * dim + d) = bank(j)(d); d += 1 }
       j += 1
     }
     out
@@ -318,7 +325,7 @@ case class LshBandKeys(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(v.numElements(), Lsh.Dim)
+    val n = math.min(v.numElements(), dim)
     val nNibbles = nPlanes / Lsh.PairBandBits
     val keys = new Array[Int](nNibbles)
     var band = 0
@@ -331,7 +338,7 @@ case class LshBandKeys(child: Expression,
         var d = 0
         while (d < n) {
           val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-          dot += x * flatPlanes(j * Lsh.Dim + d)
+          dot += x * flatPlanes(j * dim + d)
           d += 1
         }
         if (dot > 0) key |= 1 << bit

@@ -83,17 +83,34 @@ object Lsh {
     * so the 16×4 and 2×32 tiers are unchanged. */
   val PairAllPlanes = 192
 
-  /** bandPlanes(band * PairBandBits + bit)(dim) ∈ [-1, 1). */
-  val bandPlanes: IndexedSeq[IndexedSeq[Double]] = {
-    var x = 0xC2B2AE3D27D4EB4FL
-    def next(): Double = {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
-    IndexedSeq.fill(PairAllPlanes)(IndexedSeq.fill(Dim)(next()))
-  }
+  /** bandPlanesFor(dim)(band * PairBandBits + bit)(d) ∈ [-1, 1).
+    *
+    * Dim-parametrized (r9 verdict item 7 — the reference's t2i corpus
+    * is 200d where every repo scale run was 64d): the SAME SplitMix64
+    * stream drawn `PairAllPlanes × dim` deep, so `bandPlanesFor(64)`
+    * reproduces the historical bank value-for-value (every test-SF
+    * hash and the DuckDB oracle literals are unchanged) while any
+    * other corpus dimensionality gets a full-width bank instead of
+    * silently hashing a 64-component prefix. Memoized — the bank is
+    * computed once per dim per JVM. */
+  private val bankCache = new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[IndexedSeq[Double]]]()
+  def bandPlanesFor(dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    bankCache.computeIfAbsent(dim, d => {
+      var x = 0xC2B2AE3D27D4EB4FL
+      def next(): Double = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+      IndexedSeq.fill(PairAllPlanes)(IndexedSeq.fill(d)(next()))
+    })
 
-  /** DuckDB literal for band plane j. */
+  /** bandPlanes(band * PairBandBits + bit)(dim) ∈ [-1, 1) — the 64d
+    * bank, kept as the named default (the test tables and both scale
+    * corpora to date are 64d). */
+  val bandPlanes: IndexedSeq[IndexedSeq[Double]] = bandPlanesFor(Dim)
+
+  /** DuckDB literal for band plane j (the 64d bank — the oracle only
+    * ever runs against the 64d test tables and planted corpora). */
   def sqlBandPlane(j: Int): String =
     bandPlanes(j).map(_.toString).mkString("[", ", ", "]")
 }

@@ -436,6 +436,12 @@ object DedupQs {
       import graft.operators.{Lsh, Moments}
       val e = Tables.t(s, dir, "embeddings")
       val n = e.count()
+      // plane-bank width follows the corpus dimensionality (64 on every
+      // test table — bank and hashes unchanged there; a 200d corpus
+      // hashes all 200 components, Lsh.bandPlanesFor). The oracle SQL
+      // keeps the 64d literals: the driver and every planted-corpus
+      // replay only ever run it against 64d tables.
+      val dim = Tables.embDim(s, dir)
       // ONE hashing pass → a 16-int signature array per vector via the
       // compact LshBandKeys kernel. The inline form (64 VecDot columns
       // over 64 literal plane arrays) generated so much Java that
@@ -458,7 +464,8 @@ object DedupQs {
       val (bands, firstMatchBand) =
         if (n < cutover) {
           val sigs = e.select(col("vec_id"),
-            bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")))).as("ks"))
+            bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")),
+              dim = dim)).as("ks"))
           val b = sigs.select(col("vec_id"), col("ks"),
             posexplode(col("ks")).as(Seq("band_idx", "bkey")))
           val sup = !((0 until Lsh.PairBands - 1).map { bnd =>
@@ -470,17 +477,18 @@ object DedupQs {
           if (n < wideCutover) {
           // quantized-exact global mean (Moments — partitioning-exact
           // integer sums, SURVEY §6), inlined as literals
-          val m = e.agg(Moments.moments(Lsh.Dim)(col("embedding")).as("m"))
+          val m = e.agg(Moments.moments(dim)(col("embedding")).as("m"))
             .select(col("m.sums").as("sums"), col("m.n").as("cnt")).head()
           val sums = m.getSeq[Long](0)
           val cnt = m.getLong(1)
-          val meanArr = array((0 until Lsh.Dim).map(d =>
+          val meanArr = array((0 until dim).map(d =>
             lit((sums(d).toDouble / cnt) / 1000000.0)): _*)
           val centered = e.select(col("vec_id"),
             zip_with(col("embedding").cast("array<double>"), meanArr,
               (x, mm) => x - mm).as("cv"))
             val sigs = centered.select(col("vec_id"),
-              bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")))).as("ks"))
+              bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")),
+                dim = dim)).as("ks"))
               .localCheckpoint()
             // regroup 8 consecutive 4-bit keys into one 32-bit band key
             val b = sigs.select(col("vec_id"), col("ks"),
@@ -534,7 +542,7 @@ object DedupQs {
                   (x, c) => x - c).as("rv"))
             val sigs = rv.select(col("vec_id"), col("cid"),
               bc.column(graft.functions.LshBandKeys(bc.expr(col("rv")),
-                Lsh.PairWidePlanes)).as("ks"))
+                Lsh.PairWidePlanes, dim = dim)).as("ks"))
               .select(col("vec_id"), expr(hornerArr).as("bks"))
               .localCheckpoint()
             val b = sigs.select(col("vec_id"), col("bks"),
