@@ -41,6 +41,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // keep TopKAgg/TopKPairs partial aggregation hash-based (see
+      // Tables.session — the 128-key default degrades every top-k-per-
+      // group over >128 groups into a full sort of its candidate rows)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the persisted index artifacts OUTSIDE the timings: search

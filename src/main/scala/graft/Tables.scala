@@ -74,6 +74,15 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (every TypedImperativeAggregate: TopKAgg,
+      // TopKPairs, Moments) falls back to SORT-based aggregation past
+      // this many distinct keys per task — the default 128 means any
+      // top-k-per-group over more than 128 groups sorts its ENTIRE
+      // candidate stream (at 10M that sort's spill is what filled the
+      // disk under the old PQ encode). Our per-group states are
+      // k-bounded (pools, rank lists), so a 64k-key hash map is tens
+      // of MB — keep the map-side combine combining.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // the library's extension surface IS the production config: SQL
       // vector kernels + WindowTopKRule + VectorTopKJoin strategy
       // (applies when this session owns context creation — mains and

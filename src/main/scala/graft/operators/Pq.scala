@@ -34,24 +34,36 @@ object Pq {
   }
 
   /** Encode every vector: (vec_id, codes array<int> of m). Argmin per
-    * (vector, subspace) is a native min(struct(d2, cid)) over the
-    * broadcast codebook — fully codegen'd, map-side combined. */
+    * (vector, subspace) is a VecNearestCid codegen kernel over the
+    * driver-collected subspace codebook — one map-only scan, zero
+    * generated rows, zero shuffle.
+    *
+    * The posexplode × broadcast-join × min(struct) formulation this
+    * replaces generated N·m·ksub rows into an N·m-group aggregation —
+    * fine at 1M×8×16 (1.3e8), fatal at 10M×8×256 (2e10 rows whose
+    * sort-based fallback filled the disk in the round-10 scale run:
+    * ObjectHashAggregate degrades to sort past its key threshold, so
+    * the spill volume tracks the generated-row volume). Same failure
+    * and same fix as the round-9 IVF assignment (lesson 22).
+    * VecNearestCid is bit-identical to min(struct(VecL2Sq(sv, cv),
+    * cid)) by construction: float-widened left folds, ascending-cid
+    * visit with strict Double.compare — the struct-min tie-break. */
   def encode(emb: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"PQ subspaces must tile the dimension: dim=$dim m=$m")
     val dsub = dim / m
-    val slices = array((0 until m).map(s =>
-      slice(col("embedding"), s * dsub + 1, dsub)): _*)
-    emb.select(col("vec_id"), slices.as("sl"))
-      .select(col("vec_id"), posexplode(col("sl")).as(Seq("sub", "sv")))
-      .join(broadcast(cents), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
-        struct(Vec.l2sqFast(col("sv"), col("cv")).as("d2"), col("cid")).as("sc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("sc")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("sc.cid").as("cid")))),
-        x => x.getField("cid").cast("int")).as("codes"))
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    val bySub: Map[Int, Array[(Long, Array[Double])]] =
+      cents.select(col("sub"), col("cid"), col("cv")).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+        .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sortBy(_._1) }
+    val codeCols = (0 until m).map { s =>
+      val bank = bySub.getOrElse(s, sys.error(s"PQ codebook missing subspace $s"))
+      bc.column(graft.functions.VecNearestCid(
+        bc.expr(slice(col("embedding"), s * dsub + 1, dsub)),
+        bank.map(_._1), bank.map(_._2))).cast("int")
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
   /** ADC top-k per query over the codes table (asymmetric distance:

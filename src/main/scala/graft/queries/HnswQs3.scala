@@ -284,9 +284,21 @@ object HnswQs3 {
     * README_RoarGraph.md:56-60; roargraph_python.py:177-294). This is
     * that spanning substrate in one bounded pass: each base vector's
     * top-$CellK L2 neighbors WITHIN its data-sized quantizer cell
-    * (the shared sweepIvf artifact) — an SMJ on cid whose per-cell
-    * products stream through TopKAgg partial aggregation, the exact
-    * shape of the groundtruth build, never O(N²) across cells.
+    * (the shared sweepIvf artifact), computed by a per-cell
+    * mapPartitions kernel: cells hash-shuffle to tasks (ONE shuffle of
+    * N rows), each task walks its cells as sorted runs and fills
+    * k-bounded per-node pools in O(m²/2) symmetric distance evals —
+    * the candidate PAIRS never exist as rows. The SMJ + TopKAgg
+    * formulation this replaces streamed the ~|cell|²·cells pair rows
+    * (1e11 at 10M) into a 10M-group aggregation whose sort-based
+    * fallback filled the disk in the round-10 scale run — spill
+    * tracks generated-row volume, the same lesson-22 failure as the
+    * old IVF/PQ assignments. Pool ordering is TopKAgg's exact
+    * (dist, id) rule and dist is the float-widened left-fold sqrt
+    * (Vec.l2Fast), so the kernel output is bit-identical to the
+    * join+perGroup form at any partition count — CellKnnSpec enforces
+    * it, and the DuckDB oracle keeps re-deriving the same edges from
+    * its ROW_NUMBER CTE.
     * Cell-boundary neighbors are sacrificed (the projection edges and
     * multi-cell routed entries cover cross-cell travel); in exchange
     * EVERY base node is a graph member with local out-edges.
@@ -298,15 +310,91 @@ object HnswQs3 {
   private[graft] def cellKnn(s: SparkSession, dir: String): DataFrame =
     graft.operators.ProjIndex.ensureTable(s, dir, s"cell_knn_k$CellK") {
       val (_, assigned) = HnswQs.sweepIvf(s, dir)
-      val a = assigned.select(col("cid"), col("vec_id").as("src"), col("embedding").as("sv"))
-      val b = assigned.select(col("cid"), col("vec_id").as("dst"), col("embedding").as("dv"))
-      val scored = a.join(b, Seq("cid"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          graft.functions.Vec.l2Fast(col("sv"), col("dv")).as("dist"))
-      graft.operators.TopK.perGroup(scored, "src", "dst", "dist", CellK, asc = true)
-        .select(col("src"), col("rnk").cast("int").as("rnk"), col("dst"), col("dist"))
+      cellKnnKernel(assigned, CellK)
     }
+
+  /** The per-cell exact-kNN kernel over (cid, vec_id, embedding). */
+  private[graft] def cellKnnKernel(assigned: DataFrame, k: Int): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned
+      .select(col("cid").cast("long").as("cid"), col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("vec_id"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        // TopKAgg's exact ordering rule (asc, ties to the smaller id,
+        // NaN ranks worst) — pools must merge identically to perGroup
+        def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+          val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+          if (n1 || n2) { if (n1 != n2) !n1 else i1 < i2 }
+          else if (s1 != s2) s1 < s2
+          else i1 < i2
+        }
+        val buf = it.buffered
+        new Iterator[(Long, Int, Long, Double)] {
+          private var out: Iterator[(Long, Int, Long, Double)] = Iterator.empty
+          private def emitCell(): Unit = {
+            if (!buf.hasNext) return
+            val cell = buf.head._1
+            val ids = scala.collection.mutable.ArrayBuffer[Long]()
+            val vecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+            while (buf.hasNext && buf.head._1 == cell) {
+              val (_, id, v) = buf.next(); ids += id; vecs += v
+            }
+            val m = ids.length
+            val poolS = Array.fill(m)(new Array[Double](k))
+            val poolI = Array.fill(m)(new Array[Long](k))
+            val sizes = new Array[Int](m)
+            def insert(ni: Int, d: Double, id: Long): Unit = {
+              val sz = sizes(ni)
+              val ss = poolS(ni); val ii = poolI(ni)
+              if (sz == k && beats(ss(k - 1), ii(k - 1), d, id)) return
+              var pos = sz
+              while (pos > 0 && beats(d, id, ss(pos - 1), ii(pos - 1))) pos -= 1
+              if (pos >= k) return
+              var j = math.min(sz, k - 1)
+              while (j > pos) { ss(j) = ss(j - 1); ii(j) = ii(j - 1); j -= 1 }
+              ss(pos) = d; ii(pos) = id
+              if (sz < k) sizes(ni) = sz + 1
+            }
+            var i = 0
+            while (i < m) {
+              val vi = vecs(i)
+              var j = i + 1
+              while (j < m) {
+                val vj = vecs(j)
+                val n = math.min(vi.length, vj.length)
+                var acc = 0.0; var t = 0
+                while (t < n) {
+                  val d = vi(t).toDouble - vj(t).toDouble
+                  acc += d * d; t += 1
+                }
+                val dist = math.sqrt(acc)
+                insert(i, dist, ids(j))
+                insert(j, dist, ids(i))
+                j += 1
+              }
+              i += 1
+            }
+            out = Iterator.range(0, m).flatMap { ni =>
+              Iterator.range(0, sizes(ni)).map(p =>
+                (ids(ni), p + 1, poolI(ni)(p), poolS(ni)(p)))
+            }
+          }
+          override def hasNext: Boolean = {
+            while (!out.hasNext && buf.hasNext) emitCell()
+            out.hasNext
+          }
+          override def next(): (Long, Int, Long, Double) = {
+            if (!hasNext) throw new NoSuchElementException
+            out.next()
+          }
+        }
+      }
+      .toDF("src", "rnk", "dst", "dist")
+  }
 
   /** The routed search's edge set: the metric's rich projection graph
     * (best-$RoutedDeg prefix — the query-distribution shortcuts) UNION
