@@ -159,6 +159,20 @@ object VectorQs3 {
 
   private val PqM = 8
   private val PqIters = 2
+  /** PQ subspace count, DATA-SIZED (the r10 10M measurement: recall
+    * 0.427 at m=8 — with ksub capped at 256, the only honest
+    * resolution lever past ~1M is more code bits, the standard PQ
+    * practice). 8 at n ≤ 1M (every test SF and the 1M point
+    * unchanged), 16 beyond — snapped DOWN to the largest divisor of
+    * the corpus dim (200d → 10 subspaces of 20d). Memory per vector
+    * stays m bytes-ish; the rerank window does NOT have to grow with
+    * N once resolution does (pqRerankFor). */
+  def pqMFor(n: Long, dim: Int): Int = {
+    val target = if (n <= 1000000L) PqM else 16
+    var m = math.min(target, dim)
+    while (m > 1 && dim % m != 0) m -= 1
+    m
+  }
   /** PQ sub-quantizer size, DATA-SIZED (r7 item 1: 16-way codebooks
     * drown 1M points in ADC ties, measured recall 0.004 — ksub must
     * grow with N): the same √N power-of-two rule as IVF cells, capped
@@ -166,9 +180,15 @@ object VectorQs3 {
     * every test SF, 256 from ~260k vectors up. */
   def pqKsubFor(n: Long): Int = math.min(256, Ivf.cellsFor(n))
   /** Exact-rerank window, DATA-SIZED: ~n/500 candidates, floor 50
-    * (test SF unchanged), cap 2000 — the window the ADC ties are
-    * broken inside must scale with the population the ties come
-    * from. */
+    * (test SF unchanged), cap 2000. The cap is a MEMORY contract, not
+    * a tuning: the ADC kernel holds nq × rerank pooled candidates per
+    * task, so the window cannot grow linearly with N (20k × 10k
+    * queries would be multi-GB pools). What scales resolution past
+    * the cap is the CODE WIDTH (pqMFor: 8 → 16 subspaces past 1M) —
+    * the r10 10M measurement: m=8 + cap-bound rerank read 0.427
+    * where the 1M point read 0.681; doubling m restores the
+    * compressed-domain resolution instead of widening the exact
+    * window. */
   def pqRerankFor(n: Long): Int =
     math.min(2000L, math.max(50L, n / 500L)).toInt
 
@@ -181,17 +201,24 @@ object VectorQs3 {
       .select(col("vec_id"), col("embedding"))
     val n = b.count()
     val ksub = pqKsubFor(n)
+    val m = pqMFor(n, Tables.embDim(s, dir))
     val stride = Ivf.trainStrideFor(n, ksub)
-    graft.operators.ProjIndex.ensurePq(s, dir, PqM, ksub, PqIters) {
+    graft.operators.ProjIndex.ensurePq(s, dir, m, ksub, PqIters) {
       val train = if (stride <= 1L) b else b.filter(col("vec_id") % stride === 0)
-      val cents = graft.operators.Pq.train(train, PqM, ksub, PqIters)
-      val codes = graft.operators.Pq.encode(b, cents, PqM)
+      val cents = graft.operators.Pq.train(train, m, ksub, PqIters)
+      val codes = graft.operators.Pq.encode(b, cents, m)
       (cents, codes)
     }
   }
 
   /** Per-subspace quantizer CTE chains + the (sub, vec_id, cid) code
-    * table and (sub, cid, cv) codebook union — the DATA-SIZED SqlIvf
+    * table and (sub, cid, cv) codebook union. The chain count is
+    * structural in static SQL, so the oracle unrolls m = PqM = 8 —
+    * the pqMFor(n, dim) resolution at EVERY corpus the oracle runs on
+    * (all test SFs are ≤ 32k × 64d → m = 8); the 16-subspace tier only
+    * engages past 1M, where only the Spark engine runs (same
+    * static-unroll convention as the routed-search rounds).
+    * — the DATA-SIZED SqlIvf
     * unroll run once per PQ subspace over its slice of the embedding
     * (kCap 256 mirrors pqKsubFor; the per-subspace count equals the
     * base count, so every subspace derives the same ksub/stride). */
@@ -211,7 +238,7 @@ object VectorQs3 {
     s"""$chains,
       pqcodes AS ($codes),
       pqcents AS ($cents),
-      prr AS (SELECT LEAST(2000, GREATEST(50, n // 500)) AS rr FROM p0prm)"""
+      prr AS (SELECT LEAST(20000, GREATEST(50, n // 500)) AS rr FROM p0prm)"""
   }
 
   /** PQ codebook + code-assignment stats: one row per (subspace,
@@ -260,7 +287,8 @@ object VectorQs3 {
       val rerank = pqRerankFor(nBase)
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val adc = graft.operators.Pq.searchAdc(codes, cents, queries, PqM, ksub, k = rerank)
+      val adc = graft.operators.Pq.searchAdc(codes, cents, queries,
+        pqMFor(nBase, Tables.embDim(s, dir)), ksub, k = rerank)
       val rer = adc
         .join(emb.filter(col("vec_id") % 50 =!= 0)
           .select(col("vec_id").as("bid"), col("embedding").as("bv")), Seq("bid"))

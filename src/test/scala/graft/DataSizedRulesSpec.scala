@@ -12,6 +12,23 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DataSizedRulesSpec extends AnyFunSuite {
 
+  test("pqMFor: 8 through 1M, 16 beyond, snapped to a divisor of dim") {
+    assert(queries.VectorQs3.pqMFor(10000L, 64) === 8)
+    assert(queries.VectorQs3.pqMFor(1000000L, 64) === 8)
+    assert(queries.VectorQs3.pqMFor(1000001L, 64) === 16)
+    assert(queries.VectorQs3.pqMFor(10000000L, 64) === 16)
+    // 200d (the reference's t2i dimensionality): 16 does not divide
+    // 200 — snap down to 10 subspaces of 20d
+    assert(queries.VectorQs3.pqMFor(2000000L, 200) === 10)
+    assert(queries.VectorQs3.pqMFor(500000L, 200) === 8)
+  }
+
+  test("pqRerankFor: n/500 in [50, 2000] - a memory contract, not a tuning") {
+    assert(queries.VectorQs3.pqRerankFor(10000L) === 50)
+    assert(queries.VectorQs3.pqRerankFor(1000000L) === 2000)
+    assert(queries.VectorQs3.pqRerankFor(10000000L) === 2000)
+  }
+
   test("richKFor: 48 through 1M, 96 beyond (oracle rkn CASE)") {
     assert(queries.HnswQs.richKFor(1000L) === 48)
     assert(queries.HnswQs.richKFor(1000000L) === 48)
