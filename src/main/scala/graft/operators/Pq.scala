@@ -147,15 +147,36 @@ object Pq {
           ss(pos) = s; ii(pos) = id
           if (sz < k) sizes(qi) = sz + 1
         }
+        // TILED scan: buffer a block of code rows, then loop QUERIES
+        // outer so each query's 16KB LUT stays cache-hot across the
+        // whole block. The row-outer form streamed all nq LUTs
+        // (nq × m × ksub doubles — 160 MB at 10k × 8 × 256) through
+        // cache PER CODE ROW and was memory-bandwidth-bound: the 10M
+        // ADC scan cost 2,440 s against the 800 s brute-force scan
+        // with 8× the flops (r10 measurement). Pool results are
+        // insertion-order independent under the total (score, id)
+        // order, so tiling is bit-invisible.
+        val Block = 4096
+        val blkIds = new Array[Long](Block)
+        val blkCodes = new Array[Array[Int]](Block)
         while (it.hasNext) {
-          val (bid, cs) = it.next()
+          var bn = 0
+          while (bn < Block && it.hasNext) {
+            val (bid, cs) = it.next()
+            blkIds(bn) = bid; blkCodes(bn) = cs; bn += 1
+          }
           var qi = 0
           while (qi < nq) {
             val t = lut(qi)
-            var acc = 0.0
-            var s = 0
-            while (s < mL) { acc += t(s * ksubL + cs(s)); s += 1 }
-            insert(qi, acc, bid)
+            var r = 0
+            while (r < bn) {
+              val cs = blkCodes(r)
+              var acc = 0.0
+              var s = 0
+              while (s < mL) { acc += t(s * ksubL + cs(s)); s += 1 }
+              insert(qi, acc, blkIds(r))
+              r += 1
+            }
             qi += 1
           }
         }
