@@ -159,17 +159,21 @@ object VectorQs3 {
 
   private val PqM = 8
   private val PqIters = 2
-  /** PQ subspace count, DATA-SIZED (the r10 10M measurement: recall
-    * 0.427 at m=8 — with ksub capped at 256, the only honest
-    * resolution lever past ~1M is more code bits, the standard PQ
-    * practice). 8 at n ≤ 1M (every test SF and the 1M point
-    * unchanged), 16 beyond — snapped DOWN to the largest divisor of
-    * the corpus dim (200d → 10 subspaces of 20d). Memory per vector
+  /** PQ subspace count, DATA-SIZED by SUBSPACE WIDTH, not count (two
+    * r10 measurements): 10M×64d at m=8 read recall 0.427 — with ksub
+    * capped at 256 the only honest resolution lever past ~1M is more
+    * code bits; and 2M×200d at m=10 read 0.207 — a count-targeted
+    * rule handed each 256-entry codebook a 20-dim subspace it cannot
+    * resolve. What a fixed-size codebook can quantize is a fixed
+    * VOLUME, so the rule targets dims-per-subspace: 8 at n ≤ 1M
+    * (64d → m=8, every test SF and the 1M point unchanged), 4 beyond
+    * (64d → m=16, the validated 10M operating point; 200d → m=50),
+    * snapped DOWN to the nearest divisor of dim. Memory per vector
     * stays m bytes-ish; the rerank window does NOT have to grow with
     * N once resolution does (pqRerankFor). */
   def pqMFor(n: Long, dim: Int): Int = {
-    val target = if (n <= 1000000L) PqM else 16
-    var m = math.min(target, dim)
+    val width = if (n <= 1000000L) PqM else 4
+    var m = math.min(dim, math.max(1, dim / width))
     while (m > 1 && dim % m != 0) m -= 1
     m
   }

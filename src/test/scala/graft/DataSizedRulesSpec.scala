@@ -12,15 +12,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DataSizedRulesSpec extends AnyFunSuite {
 
-  test("pqMFor: 8 through 1M, 16 beyond, snapped to a divisor of dim") {
+  test("pqMFor targets subspace width: 8 dims through 1M, 4 beyond") {
     assert(queries.VectorQs3.pqMFor(10000L, 64) === 8)
     assert(queries.VectorQs3.pqMFor(1000000L, 64) === 8)
     assert(queries.VectorQs3.pqMFor(1000001L, 64) === 16)
     assert(queries.VectorQs3.pqMFor(10000000L, 64) === 16)
-    // 200d (the reference's t2i dimensionality): 16 does not divide
-    // 200 — snap down to 10 subspaces of 20d
-    assert(queries.VectorQs3.pqMFor(2000000L, 200) === 10)
-    assert(queries.VectorQs3.pqMFor(500000L, 200) === 8)
+    // 200d (the reference's t2i dimensionality): the count-targeted
+    // rule's m=10 handed each codebook a 20-dim subspace (measured
+    // recall 0.207 at 2M); width-targeted → 50 subspaces of 4d
+    assert(queries.VectorQs3.pqMFor(2000000L, 200) === 50)
+    assert(queries.VectorQs3.pqMFor(500000L, 200) === 25)
+    // non-divisor dims snap DOWN to the nearest divisor
+    assert(queries.VectorQs3.pqMFor(2000000L, 100) === 25)
+    assert(queries.VectorQs3.pqMFor(10000L, 6) === 1)
   }
 
   test("pqRerankFor: n/500 in [50, 2000] - a memory contract, not a tuning") {
