@@ -57,8 +57,15 @@ object GraftFunctions {
       info("word_shingles", "word_shingles(words, n) - distinct n-word shingles, first-occurrence order"),
       (args: Seq[Expression]) => WordShinglesExpr(args(0), intArg(args(1), "word_shingles"))),
     (FunctionIdentifier("lsh_band_keys"),
-      info("lsh_band_keys", "lsh_band_keys(vec) - 16 hyperplane-LSH band keys of an embedding"),
-      (args: Seq[Expression]) => LshBandKeys(args(0))))
+      info("lsh_band_keys",
+        "lsh_band_keys(vec[, nPlanes[, dim]]) - hyperplane-LSH band keys of an embedding " +
+          "(defaults: 64 planes over a 64d bank; pass dim for non-64d corpora)"),
+      (args: Seq[Expression]) => args.length match {
+        case 1 => LshBandKeys(args(0))
+        case 2 => LshBandKeys(args(0), intArg(args(1), "lsh_band_keys"))
+        case _ => LshBandKeys(args(0), intArg(args(1), "lsh_band_keys"),
+          intArg(args(2), "lsh_band_keys"))
+      }))
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -64,7 +64,8 @@ object Prof {
       val e = Tables.t(s, dir, "embeddings")
       val bc = org.apache.spark.sql.graftbridge.Bridge
       val sigs = e.select(col("vec_id"),
-        bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")))).as("ks"))
+        bc.column(graft.functions.LshBandKeys(bc.expr(col("embedding")),
+          dim = Tables.embDim(s, dir))).as("ks"))
       time("emb: sigs noop")(noop(sigs))
       val bands = sigs
         .select(col("vec_id"), col("ks"),

@@ -19,11 +19,15 @@ object ProfBuckets {
     import graft.operators.{Lsh, Moments}
     val bc = org.apache.spark.sql.graftbridge.Bridge
     val e = Tables.t(spark, dir, "embeddings")
-    val m = e.agg(Moments.moments(Lsh.Dim)(col("embedding")).as("m"))
+    // dim-aware like DedupQs.embeddingPairs — a 200d corpus must be
+    // probed with the same full-width bank the dedup join will use,
+    // not a 64-component prefix (r10 ADVICE)
+    val dim = Tables.embDim(spark, dir)
+    val m = e.agg(Moments.moments(dim)(col("embedding")).as("m"))
       .select(col("m.sums").as("sums"), col("m.n").as("cnt")).head()
     val sums = m.getSeq[Long](0)
     val cnt = m.getLong(1)
-    val meanArr = array((0 until Lsh.Dim).map(d =>
+    val meanArr = array((0 until dim).map(d =>
       lit((sums(d).toDouble / cnt) / 1000000.0)): _*)
     val centered = e.select(col("vec_id"),
       zip_with(col("embedding").cast("array<double>"), meanArr, (x, mm) => x - mm).as("cv"))
@@ -47,12 +51,13 @@ object ProfBuckets {
             zip_with(col("embedding").cast("array<double>"), col("cv"),
               (x, c) => x - c).as("rv"))
           .select(col("vec_id"), col("cid"),
-            bc.column(graft.functions.LshBandKeys(bc.expr(col("rv")), Lsh.PairWidePlanes)).as("ks"))
+            bc.column(graft.functions.LshBandKeys(bc.expr(col("rv")),
+              Lsh.PairWidePlanes, dim = dim)).as("ks"))
           .select(col("vec_id"), expr(hornerArr).as("bks"))
           .select(col("vec_id"), posexplode(col("bks")).as(Seq("band_idx", "bkey")))
       case _ =>
         centered.select(col("vec_id"),
-          bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")))).as("ks"))
+          bc.column(graft.functions.LshBandKeys(bc.expr(col("cv")), dim = dim)).as("ks"))
           .select(col("vec_id"),
             explode(expr(
               s"transform(sequence(0, ${Lsh.PairScaleBands - 1}), b -> named_struct(" +

@@ -75,6 +75,12 @@ object ScaleReplay {
         case None => println(s"REPLAY_FAIL $k expected=$e got=<missing>"); bad += 1
       }
     }
+    // key sets must MATCH: a metric added after the fixture was
+    // recorded must fail loudly, not pass silently (r10 ADVICE)
+    measured.keys.filterNot(expected.contains).foreach { k =>
+      println(s"REPLAY_FAIL $k expected=<missing from fixture ${f.getName}> got=${measured(k)}")
+      bad += 1
+    }
     System.out.flush()
     spark.stop()
     if (bad > 0) sys.exit(1)

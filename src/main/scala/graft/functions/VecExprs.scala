@@ -292,3 +292,132 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryKerne
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Whole-code PQ encode: all m subspace argmins in ONE kernel pass —
+  * embedding in, the m-wide code array out, the codebook banks living
+  * in the expression object (not the plan).
+  *
+  * Replaces the m × (slice + VecNearestCid) column form in a single
+  * Project (the round-10 open item 36): at the 200d rule's m=50 that
+  * form emitted 50 slice/kernel pairs of generated Java, fell out of
+  * whole-stage codegen, and the 2M×200d encode never finished. Here
+  * the per-row work is one generated loop nest whose size is
+  * independent of m, so the plan stays codegen'd at any code width.
+  *
+  * Bit-identical to the column form by construction: subspace s reads
+  * elements [s·dsub, s·dsub+dsub) exactly as slice(emb, s·dsub+1,
+  * dsub) exposes them (same short-array clamping), each distance is
+  * the same float-widened left fold in element order, and candidates
+  * are visited in ascending-cid order with a strict Double.compare
+  * update — the min(struct(d2, cid)) tie-break VecNearestCid mirrors.
+  * PqSpec pins the equality at m ∈ {8, 16, 50}.
+  *
+  * Reference semantics: per-subspace nearest-codeword assignment,
+  * the standard PQ encode (Jégou et al., TPAMI 2011). */
+case class PqEncodeCodes(child: Expression,
+    dsub: Int,
+    cids: Array[Array[Long]],
+    banks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(banks.nonEmpty && cids.length == banks.length,
+    s"codebook mismatch: ${cids.length} cid banks vs ${banks.length} subspaces")
+  require(dsub > 0, s"dsub must be positive, got $dsub")
+  require(banks.indices.forall(s => banks(s).nonEmpty && cids(s).length == banks(s).length),
+    "every subspace needs a non-empty, id-aligned centroid bank")
+
+  private def m: Int = banks.length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def et: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"need array, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isFloat = et == FloatType
+    val n = a.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val bank = banks(s); val ids = cids(s)
+      val off = s * dsub
+      // slice(emb, off+1, dsub) exposes min(dsub, max(0, n-off)) elems
+      val avail = math.min(dsub, math.max(0, n - off))
+      var best = Double.PositiveInfinity
+      var bestCid = ids(0)
+      var c = 0
+      while (c < bank.length) {
+        val cv = bank(c)
+        val lim = math.min(avail, cv.length)
+        var acc = 0.0; var i = 0
+        if (isFloat) {
+          while (i < lim) { val d = a.getFloat(off + i).toDouble - cv(i); acc += d * d; i += 1 }
+        } else {
+          while (i < lim) { val d = a.getDouble(off + i) - cv(i); acc += d * d; i += 1 }
+        }
+        if (java.lang.Double.compare(acc, best) < 0) { best = acc; bestCid = ids(c) }
+        c += 1
+      }
+      out(s) = bestCid.toInt
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val banksRef = ctx.addReferenceObj("pqBanks", banks, "double[][][]")
+    val cidsRef = ctx.addReferenceObj("pqCids", cids, "long[][]")
+    val getElem = et match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, codes, s, bank, ids, off, avail, best, bc, c, cv, lim, acc, d, i) =
+        (ctx.freshName("n"), ctx.freshName("codes"), ctx.freshName("s"),
+         ctx.freshName("bank"), ctx.freshName("ids"), ctx.freshName("off"),
+         ctx.freshName("avail"), ctx.freshName("best"), ctx.freshName("bcid"),
+         ctx.freshName("c"), ctx.freshName("cv"), ctx.freshName("lim"),
+         ctx.freshName("acc"), ctx.freshName("d"), ctx.freshName("i"))
+      val idx = ctx.freshName("idx")
+      s"""
+       |int $n = $a.numElements();
+       |int[] $codes = new int[$m];
+       |for (int $s = 0; $s < $m; $s++) {
+       |  double[][] $bank = $banksRef[$s];
+       |  long[] $ids = $cidsRef[$s];
+       |  int $off = $s * $dsub;
+       |  int $avail = java.lang.Math.min($dsub, java.lang.Math.max(0, $n - $off));
+       |  double $best = Double.POSITIVE_INFINITY;
+       |  long $bc = $ids[0];
+       |  for (int $c = 0; $c < $bank.length; $c++) {
+       |    double[] $cv = $bank[$c];
+       |    int $lim = java.lang.Math.min($avail, $cv.length);
+       |    double $acc = 0.0;
+       |    for (int $i = 0; $i < $lim; $i++) {
+       |      int $idx = $off + $i;
+       |      double $d = ${getElem(a, idx)} - $cv[$i];
+       |      $acc += $d * $d;
+       |    }
+       |    if (java.lang.Double.compare($acc, $best) < 0) { $best = $acc; $bc = $ids[$c]; }
+       |  }
+       |  $codes[$s] = (int) $bc;
+       |}
+       |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

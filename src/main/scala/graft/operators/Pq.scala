@@ -33,35 +33,58 @@ object Pq {
     }.reduce(_.union(_))
   }
 
-  /** Encode every vector: (vec_id, codes array<int> of m). Argmin per
-    * (vector, subspace) is a VecNearestCid codegen kernel over the
-    * driver-collected subspace codebook — one map-only scan, zero
-    * generated rows, zero shuffle.
+  private def collectBanks(
+      cents: DataFrame, m: Int): (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val bySub: Map[Int, Array[(Long, Array[Double])]] =
+      cents.select(col("sub"), col("cid"), col("cv")).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+        .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sortBy(_._1) }
+    val banks = (0 until m).map(s =>
+      bySub.getOrElse(s, sys.error(s"PQ codebook missing subspace $s"))).toArray
+    (banks.map(_.map(_._1)), banks.map(_.map(_._2)))
+  }
+
+  /** Encode every vector: (vec_id, codes array<int> of m). ALL m
+    * subspace argmins run in ONE PqEncodeCodes codegen kernel over the
+    * driver-collected codebooks — one map-only scan, zero generated
+    * rows, zero shuffle, and a plan whose generated-code size is
+    * independent of m.
     *
-    * The posexplode × broadcast-join × min(struct) formulation this
-    * replaces generated N·m·ksub rows into an N·m-group aggregation —
-    * fine at 1M×8×16 (1.3e8), fatal at 10M×8×256 (2e10 rows whose
-    * sort-based fallback filled the disk in the round-10 scale run:
-    * ObjectHashAggregate degrades to sort past its key threshold, so
-    * the spill volume tracks the generated-row volume). Same failure
-    * and same fix as the round-9 IVF assignment (lesson 22).
-    * VecNearestCid is bit-identical to min(struct(VecL2Sq(sv, cv),
-    * cid)) by construction: float-widened left folds, ascending-cid
-    * visit with strict Double.compare — the struct-min tie-break. */
+    * Two dead formulations, both killed by measurement:
+    * (1) posexplode × broadcast-join × min(struct) generated N·m·ksub
+    *     rows into an N·m-group aggregation — fine at 1M×8×16 (1.3e8),
+    *     fatal at 10M×8×256 (2e10 rows whose sort-based fallback
+    *     filled the disk in the round-10 scale run; lesson 22/30).
+    * (2) m × (slice + VecNearestCid) columns in one Project — fine at
+    *     m≤16, but at the 200d rule's m=50 the Project fell out of
+    *     whole-stage codegen and every kernel ran interpreted; the
+    *     2M×200d encode never finished (round-10 open item 36).
+    * PqSpec pins the fused kernel bit-identical to form (2) at
+    * m ∈ {8, 16, 50}. */
   def encode(emb: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"PQ subspaces must tile the dimension: dim=$dim m=$m")
     val dsub = dim / m
     val bc = org.apache.spark.sql.graftbridge.Bridge
-    val bySub: Map[Int, Array[(Long, Array[Double])]] =
-      cents.select(col("sub"), col("cid"), col("cv")).collect()
-        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
-        .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sortBy(_._1) }
+    val (cids, banks) = collectBanks(cents, m)
+    emb.select(col("vec_id"),
+      bc.column(graft.functions.PqEncodeCodes(
+        bc.expr(col("embedding")), dsub, cids, banks)).as("codes"))
+  }
+
+  /** The retired per-subspace column form (dead formulation (2) above),
+    * kept ONLY as the spec oracle for PqSpec's kernel bit-equality —
+    * never call it on a real corpus at large m. */
+  private[graft] def encodePerSubspace(emb: DataFrame, cents: DataFrame, m: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ subspaces must tile the dimension: dim=$dim m=$m")
+    val dsub = dim / m
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    val (cids, banks) = collectBanks(cents, m)
     val codeCols = (0 until m).map { s =>
-      val bank = bySub.getOrElse(s, sys.error(s"PQ codebook missing subspace $s"))
       bc.column(graft.functions.VecNearestCid(
         bc.expr(slice(col("embedding"), s * dsub + 1, dsub)),
-        bank.map(_._1), bank.map(_._2))).cast("int")
+        cids(s), banks(s))).cast("int")
     }
     emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }

@@ -712,6 +712,131 @@ object HnswQs {
     * other, so train-side and eval-side query sets must be free). */
   private[graft] def richGraphFrom(base: DataFrame, queries: DataFrame,
       metric: String, kk: Int): DataFrame = {
+      val spark = base.sparkSession
+      import spark.implicits._
+      val topk = BruteForce.topk(base, queries, metric, kk)
+        .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
+        .localCheckpoint()
+      val mem = topk.join(base, Seq("bid"))
+        .select(col("qid"), col("rnk"), col("bid"), col("bv"))
+      // Per-list member-kNN as a LOCAL kernel (round 11): the joins
+      // form (self-join on qid → |Q|·k·(k−1) rows → row_number window
+      // top-M) is the generate-then-topk shape of lesson 30 in the
+      // BUILD path — at 500k training queries × k=96 it pushes 4.6e9
+      // ~40-byte rows through a window sort whose spill exceeds the
+      // sandbox disk. Each list is k vectors; gather it in one group
+      // row and do the k² distance matrix + per-member top-M in the
+      // task. Rows that ever exist: |Q| group rows in, selected edges
+      // out (|Q|·k·M, already direction-deduped within the list).
+      // Bit-identical to the joins form (RichKernelSpec): distances
+      // are the same float-widened left folds in element order
+      // (Vec.metricDist), selection order is the same strict
+      // (Double.compare(d), dst) tie-break, and the within-list
+      // direction dedupe is exact because d is symmetric so the
+      // downstream min(w) collapsed those rows to the same value
+      // anyway.
+      val isL2 = metric == "l2"; val isCos = metric == "cosine"
+      require(isL2 || isCos || metric == "ip", s"unknown metric $metric")
+      val mSel = RichM
+      val und = mem
+        .groupBy(col("qid"))
+        .agg(collect_list(struct(col("rnk"), col("bid"), col("bv"))).as("ms"))
+        .select(col("ms"))
+        .flatMap { gr =>
+          val rows = gr.getSeq[org.apache.spark.sql.Row](0)
+          val k = rows.length
+          val ord = rows.sortBy(_.getInt(0))
+          val ids = new Array[Long](k)
+          val vs = new Array[Array[Float]](k)
+          var i = 0
+          while (i < k) {
+            ids(i) = ord(i).getLong(1)
+            vs(i) = {
+              val s = ord(i).getSeq[Float](2)
+              val a = new Array[Float](s.length)
+              var j = 0; while (j < s.length) { a(j) = s(j); j += 1 }; a
+            }
+            i += 1
+          }
+          // symmetric distance matrix, each entry the same left fold
+          // Vec.metricDist emits (VecL2Sq→sqrt / VecCosine / VecDot)
+          val dm = new Array[Double](k * k)
+          i = 0
+          while (i < k) {
+            var j = i + 1
+            while (j < k) {
+              val a = vs(i); val b = vs(j)
+              val n = math.min(a.length, b.length)
+              var e = 0
+              val d =
+                if (isL2) {
+                  var s = 0.0
+                  while (e < n) { val df = a(e).toDouble - b(e).toDouble; s += df * df; e += 1 }
+                  math.sqrt(s)
+                } else if (isCos) {
+                  var dot = 0.0; var na = 0.0; var nb = 0.0
+                  while (e < n) {
+                    val x = a(e).toDouble; val y = b(e).toDouble
+                    dot += x * y; na += x * x; nb += y * y; e += 1
+                  }
+                  -(dot / math.sqrt(na * nb))
+                } else {
+                  var dot = 0.0
+                  while (e < n) { dot += a(e).toDouble * b(e).toDouble; e += 1 }
+                  -dot
+                }
+              dm(i * k + j) = d; dm(j * k + i) = d
+              j += 1
+            }
+            i += 1
+          }
+          // per-member top-M by (d, dst-id), then within-list direction
+          // dedupe: pair (i,j) emits (ids(i),ids(j),d) and the mirror
+          // ONCE even when both members select each other
+          val seen = new java.util.HashSet[Long]()
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val cand = new Array[Int](math.max(0, k - 1))
+          i = 0
+          while (i < k) {
+            var c = 0; var j = 0
+            while (j < k) { if (j != i) { cand(c) = j; c += 1 }; j += 1 }
+            val cs = cand.take(c).sortWith { (x, y) =>
+              val cmp = java.lang.Double.compare(dm(i * k + x), dm(i * k + y))
+              if (cmp != 0) cmp < 0 else ids(x) < ids(y)
+            }
+            val lim = math.min(mSel, cs.length)
+            var r = 0
+            while (r < lim) {
+              val j2 = cs(r)
+              val lo = math.min(i, j2); val hi = math.max(i, j2)
+              val pk = lo.toLong * k + hi
+              if (seen.add(pk)) {
+                val d = dm(i * k + j2)
+                out += ((ids(i), ids(j2), d))
+                out += ((ids(j2), ids(i), d))
+              }
+              r += 1
+            }
+            i += 1
+          }
+          seen.clear()
+          out.iterator
+        }.toDF("src", "dst", "d")
+      // d is symmetric and bit-identical in both directions/queries, so
+      // min(d) is a pure dedupe (one groupBy beats a window here)
+      val ag = und.groupBy(col("src"), col("dst")).agg(min(col("d")).as("w"))
+      ag.withColumn("erk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+        .filter(col("erk") <= RichDeg)
+        .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
+  }
+
+  /** The retired joins form of the member-kNN stage (self-join on qid
+    * → window top-M) — kept ONLY as RichKernelSpec's oracle for the
+    * local-kernel rewrite above; never call it at scale. */
+  private[graft] def richGraphFromJoins(base: DataFrame, queries: DataFrame,
+      metric: String, kk: Int): DataFrame = {
       val topk = BruteForce.topk(base, queries, metric, kk)
         .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         .localCheckpoint()
@@ -728,8 +853,6 @@ object HnswQs {
         .filter(col("mrn") <= RichM)
       val und = sel.select(col("tbid").as("src"), col("cbid").as("dst"), col("d"))
         .union(sel.select(col("cbid").as("src"), col("tbid").as("dst"), col("d")))
-      // d is symmetric and bit-identical in both directions/queries, so
-      // min(d) is a pure dedupe (one groupBy beats a window here)
       val ag = und.groupBy(col("src"), col("dst")).agg(min(col("d")).as("w"))
       ag.withColumn("erk", row_number().over(
           org.apache.spark.sql.expressions.Window

@@ -242,7 +242,7 @@ object VectorQs3 {
     s"""$chains,
       pqcodes AS ($codes),
       pqcents AS ($cents),
-      prr AS (SELECT LEAST(20000, GREATEST(50, n // 500)) AS rr FROM p0prm)"""
+      prr AS (SELECT LEAST(2000, GREATEST(50, n // 500)) AS rr FROM p0prm)"""
   }
 
   /** PQ codebook + code-assignment stats: one row per (subspace,

@@ -22,6 +22,30 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(c1.length == b.count())
   }
 
+  test("fused encode kernel == per-subspace column form at m in {8, 16, 50}") {
+    // m=50 needs dim % 50 == 0: tile each 64d embedding to 200d the
+    // deterministic way (repeat + trim) so the test exercises the
+    // EXACT shape that broke at 200d (open item 36: m=50 fell out of
+    // whole-stage codegen in the column form).
+    val base = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val tiled = base.select(col("vec_id"),
+      slice(concat(col("embedding"), col("embedding"), col("embedding"), col("embedding")),
+        1, 200).as("embedding"))
+    for ((m, df) <- Seq((8, base), (16, base), (50, tiled))) {
+      val cents = Pq.train(df, m, 16, 2).localCheckpoint()
+      val fused = Pq.encode(df, cents, m).orderBy(col("vec_id")).collect()
+      val cols = Pq.encodePerSubspace(df, cents, m).orderBy(col("vec_id")).collect()
+      assert(fused.length == cols.length && fused.nonEmpty, s"m=$m row counts")
+      fused.zip(cols).foreach { case (f, c) =>
+        assert(f.getLong(0) == c.getLong(0), s"m=$m id order")
+        assert(f.getSeq[Int](1) == c.getSeq[Int](1),
+          s"m=$m codes diverge at vec_id=${f.getLong(0)}")
+      }
+    }
+  }
+
   test("pq_search recall@10 vs exact L2 >= 0.5") {
     val gt = VectorQs.gtTopk(spark, sf, "l2").select(col("qid"), col("bid"))
       .localCheckpoint()
