@@ -1,0 +1,205 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.{BeamSearch, BruteForce, Ivf, TopK}
+import graft.sources.SynthData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The protocol-valid held-out frontier experiment (round 11 — VERDICT
+  * r10 "Next round" item 1).
+  *
+  * Round 10's HoldoutProbe discovered the projection graph MEMORIZES
+  * its training queries (10M: 0.9999 in-sample vs 0.186 held-out at
+  * 0.001 training queries per base vector), which invalidated every
+  * prior repo-vs-reference frontier row: the reference's t2i table is
+  * held-out, bought with |Qtrain| = N training queries
+  * (query.train.10M.fbin, README_RoarGraph.md:15-30, 56-112). The
+  * matched-density defense existed only at 250k (m5). This main runs
+  * the experiment that settles it at ≥ 1M:
+  *
+  *   m6 = 1M base × 500k TRAINING queries (|Qtrain|/N = 0.5, m5's
+  *   density shape) + a disjoint held-out eval split, swept over
+  *   ef × rounds to produce a held-out recall-vs-visited CURVE
+  *   through the catalog's routed-search configuration (hub + anchor
+  *   entries, rich ∪ cellKnn union graph — HnswQs3.routedSearch's
+  *   exact shape). An in-sample slice of the same size runs each
+  *   point too, so every row carries its own generalization gap.
+  *
+  * The 500k×1M training-list build is feasible in-sandbox only
+  * because round 11 kernelized richGraphFrom's member-kNN stage (the
+  * joins form pushed 4.6e9 rows through a window sort — more spill
+  * than the sandbox disk).
+  *
+  * Usage: runMain graft.HeldoutCurve <dir> [nBase] [nTrain] [nEval] [confs]
+  *   confs = "ef:rounds[:deg[:ents]],..." (default the ef∈{8,16,32} sweep)
+  * Env: SPARK_GRAFT_CPUS (default 8; SPARK_DRIVER_MEM must cover
+  * nTrain-sized brute-force pools — 48g at 500k).
+  */
+object HeldoutCurve {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: HeldoutCurve <dir> [nBase] [nTrain] [nEval] [confs]")
+    val dir = args(0)
+    val nBase = if (args.length > 1) args(1).toLong else 1000000L
+    val nTrain = if (args.length > 2) args(2).toLong else 500000L
+    val nEval = if (args.length > 3) args(3).toLong else 2000L
+    val confs = (if (args.length > 4) args(4)
+      else "8:5,8:9,16:5,16:9,32:9,32:13")
+      .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+        val p = s.split(":").map(_.trim.toInt)
+        (p(0), p(1), if (p.length > 2) p(2) else 32, if (p.length > 3) p(3) else 8)
+      }
+    val nQ = nTrain + nEval
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Tables.session("graft-heldout-curve", cpus)
+    import org.apache.hadoop.fs.Path
+
+    // ---- phase 1: corpus (ScaleRun's exact generator + id mapping,
+    // nQ sized for the training density) ----
+    val embPath = s"$dir/embeddings.parquet"
+    val fs = new Path(embPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(embPath, "_SUCCESS"))) {
+      val (_, tGen) = time {
+        val raw = SynthData.clustered(spark, nBase + nQ, dim = 64, nModalities = 8, seed = 42L)
+        val src = raw.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+        raw.join(src, col("vec_id") + 1 === col("src_id"), "left")
+          .select(
+            expr(s"CAST(CASE WHEN vec_id < $nQ THEN vec_id * 50" +
+              s" ELSE (vec_id - $nQ) + (vec_id - $nQ) div 49 + 1 END AS BIGINT)").as("vec_id"),
+            when(col("vec_id") >= nQ && col("vec_id") % 101 === 0 && col("src_emb").isNotNull,
+              col("src_emb")).otherwise(col("embedding")).as("embedding"),
+            col("modality").cast("int").as("label"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(embPath)
+      }
+      println(f"HELDOUT_CURVE gen_sec=$tGen%.1f")
+    }
+    val emb = Tables.t(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+    // the 1M×64d corpus is ~300 MB → ~3 parquet scan splits, which
+    // would serialize the 5e11-eval training-list scan; spread the
+    // base across the cores once (BruteForce pools merge identically
+    // under any partitioning, and more partitions only add
+    // partitions×|Q|×k pooled rows — 24×500k×48 is well inside the
+    // TopKAgg merge budget)
+    val baseR = base.repartition(cpus.toInt).localCheckpoint()
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // SynthData vectors are hash-derived from vec_id, so an id-range
+    // split is as unbiased as a modulo one; eval ids never enter the
+    // training lists
+    val qTrain = q.filter(col("qid") / 50 < nTrain)
+    val qEval = q.filter(col("qid") / 50 >= nTrain)
+    // the in-sample comparison slice: the first nEval TRAINING queries
+    // (same size as the eval split, so the printed pair is the gap)
+    val qIns = q.filter(col("qid") / 50 < nEval)
+
+    // ---- phase 2: exact groundtruth for the two measured splits ----
+    val (gtEval, tGtE) = time {
+      graft.operators.ProjIndex.ensureTable(spark, dir, "gt_l2_k10_eval") {
+        BruteForce.topk(baseR, qEval, "l2", 10)
+          .select(col("qid"), col("rnk"), col("bid"))
+      }.select(col("qid"), col("bid")).localCheckpoint()
+    }
+    val (gtIns, tGtI) = time {
+      graft.operators.ProjIndex.ensureTable(spark, dir, "gt_l2_k10_ins") {
+        BruteForce.topk(baseR, qIns, "l2", 10)
+          .select(col("qid"), col("rnk"), col("bid"))
+      }.select(col("qid"), col("bid")).localCheckpoint()
+    }
+    println(f"HELDOUT_CURVE gt_eval_sec=$tGtE%.1f gt_ins_sec=$tGtI%.1f")
+    System.out.flush()
+
+    // ---- phase 3: artifacts (train-split graph + the catalog's
+    // routed substrate) ----
+    val n = Tables.baseCount(spark, dir)
+    val kk = queries.HnswQs.richKFor(n)
+    // the 5e11-eval training-list scan is the build's long pole —
+    // persist it so selection-rule iterations don't re-pay it
+    val (lists, tLists) = time {
+      graft.operators.ProjIndex.ensureTable(spark, dir,
+        s"train_lists_q${nTrain}_k$kk") {
+        graft.operators.BruteForce.topk(baseR, qTrain, "l2", kk)
+          .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
+      }
+    }
+    println(f"HELDOUT_CURVE train_lists_sec=$tLists%.1f")
+    System.out.flush()
+    // _occ: dense-gated occlusion selection (round 11) — a new tag so
+    // the pre-occlusion m6 graph can't alias the new build
+    val (rich, tRich) = time {
+      graft.operators.ProjIndex.ensureTable(spark, dir,
+        s"rich_proj_train${nTrain}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
+        queries.HnswQs.richGraphFrom(baseR, qTrain, "l2", kk, Some(lists))
+      }
+    }
+    println(f"HELDOUT_CURVE rich_graph_sec=$tRich%.1f (|Qtrain|=$nTrain, k=$kk)")
+    System.out.flush()
+    val cells = Ivf.cellsFor(n)
+    val (_, tIvf) = time {
+      graft.operators.ProjIndex.ensureIvf(spark, dir, "scale", cells, 2) {
+        val (c, a, _) = Ivf.sizedBuild(
+          base.select(col("bid").as("vec_id"), col("bv").as("embedding")), 2)
+        (c, a)
+      }
+    }
+    val (ck, tCk) = time {
+      queries.HnswQs3.cellKnn(spark, dir).select(col("src"), col("dst")).localCheckpoint()
+    }
+    println(f"HELDOUT_CURVE scale_ivf_sec=$tIvf%.1f cell_knn_sec=$tCk%.1f")
+    System.out.flush()
+
+    // routed entries: nearest base node per scale-quantizer cell (the
+    // catalog/HoldoutProbe convention)
+    val (cents, _) = graft.operators.ProjIndex.ensureIvf(spark, dir, "scale", cells, 2)(
+      sys.error("unreachable — ensured above"))
+    val anchorNodes = BruteForce.topk(
+      baseR,
+      cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+      "l2", 1).select(col("bid")).distinct()
+    val anchorBase = anchorNodes.join(base, Seq("bid")).localCheckpoint()
+
+    // ---- phase 4: the sweep ----
+    def run(tag: String, qs: DataFrame, gt: DataFrame,
+        ef: Int, rounds: Int, deg: Int, ents: Int): Unit = {
+      val richE = rich.filter(col("erk") <= deg).select(col("src"), col("dst"))
+      val edges = richE.union(ck)
+        .union(ck.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("src")).head().getLong(0)
+      val aRk = TopK.perGroup(
+        qs.crossJoin(broadcast(anchorBase))
+          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
+        "qid", "bid", "d", ents, asc = true)
+        .select(col("qid"), col("bid")).localCheckpoint()
+      val seeds = qs.select(col("qid")).withColumn("bid", lit(entry)).union(aRk)
+      val t1 = System.nanoTime()
+      val (res, vis) = BeamSearch.runFromSeedsCounted(edges, qs, base, seeds, ef, rounds)
+      val top = TopK.perGroup(res, "qid", "bid", "dist", 10, asc = true)
+        .select(col("qid"), col("bid")).localCheckpoint()
+      val sec = (System.nanoTime() - t1) / 1e9
+      val nGt = gt.count().toDouble
+      val nQs = qs.count().toDouble
+      val recall = top.join(gt, Seq("qid", "bid")).count() / nGt
+      println(f"HELDOUT_CURVE $tag%s ef=$ef%d rounds=$rounds%d deg=$deg%d ents=$ents%d " +
+        f"nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
+        f"visited_pct=${100.0 * vis / nQs / n}%.4f sec=$sec%.1f")
+      System.out.flush()
+    }
+
+    confs.foreach { case (ef, rounds, deg, ents) =>
+      run("heldout", qEval, gtEval, ef, rounds, deg, ents)
+      run("insample", qIns, gtIns, ef, rounds, deg, ents)
+    }
+    spark.stop()
+  }
+}

@@ -710,12 +710,33 @@ object HnswQs {
     * by the catalog artifact above and the held-out scale probe
     * (HoldoutProbe trains on one query half and evaluates on the
     * other, so train-side and eval-side query sets must be free). */
+  /** Membership-density gate for the occlusion-pruned selection (round
+    * 11): at ~4+ training lists per base node the per-source best-48-
+    * by-weight cap degenerates to a plain local kNN graph — every kept
+    * edge is a global near-neighbor, the long shortcut edges that make
+    * a beam navigable are all evicted, and search gets STUCK (m6,
+    * 500k × 1M: ef32 rounds 9→13 left recall flat at 0.7346 while
+    * visited grew 40%). The reference never stores raw member-kNN:
+    * its projection build occlusion-prunes every candidate list
+    * (M_pjbp selection, roargraph_python.py:177-294 — the same RNG
+    * rule roar_projection_graph mirrors). Below the gate (every test
+    * SF ~1 list/node, m1 0.05, m3 0.10, m4 0.10) sparse lists ARE the
+    * diversity source and the weight-ranked cap is measured-good —
+    * that branch, its artifacts, and its oracles are unchanged. */
+  private[graft] def richDense(nQ: Long, kk: Int, nB: Long): Boolean =
+    nQ * kk >= 4L * nB
+  /** occlusion candidate pool per source: top-RichOccPool by (w, dst)
+    * — the efConstruction convention (bounded pool, heuristic select);
+    * it caps the per-source vector join at N·pool rows */
+  private[graft] val RichOccPool = 128
+
   private[graft] def richGraphFrom(base: DataFrame, queries: DataFrame,
-      metric: String, kk: Int): DataFrame = {
+      metric: String, kk: Int, listsOpt: Option[DataFrame] = None): DataFrame = {
       val spark = base.sparkSession
       import spark.implicits._
-      val topk = BruteForce.topk(base, queries, metric, kk)
-        .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
+      val topk = listsOpt.getOrElse(
+        BruteForce.topk(base, queries, metric, kk)
+          .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid")))
         .localCheckpoint()
       val mem = topk.join(base, Seq("bid"))
         .select(col("qid"), col("rnk"), col("bid"), col("bv"))
@@ -825,11 +846,94 @@ object HnswQs {
       // d is symmetric and bit-identical in both directions/queries, so
       // min(d) is a pure dedupe (one groupBy beats a window here)
       val ag = und.groupBy(col("src"), col("dst")).agg(min(col("d")).as("w"))
-      ag.withColumn("erk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("src")).orderBy(col("w"), col("dst"))))
-        .filter(col("erk") <= RichDeg)
-        .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
+      if (!richDense(queries.count(), kk, base.count())) {
+        // sparse training lists: weight-ranked cap (the measured-good
+        // low-density branch — every catalog artifact and oracle)
+        ag.withColumn("erk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+          .filter(col("erk") <= RichDeg)
+          .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
+      } else {
+        // dense training lists: occlusion-pruned selection (the
+        // reference's M_pjbp rule — candidate c is REJECTED when some
+        // already-kept neighbor k occludes it: d(c, k) <= d(c, src);
+        // the same RNG predicate roar_projection_graph's fold applies
+        // per list, here applied per SOURCE over its pooled
+        // candidates). Candidates scan in strict (w, dst) order, so
+        // kept edges stay weight-ranked and the erk-prefix property
+        // ("one artifact serves every traversal degree") holds.
+        // Engine-only branch by construction: the gate cannot fire on
+        // any corpus an oracle runs against (same static-SQL
+        // convention as the pqMFor/routed-knob scale tiers);
+        // RichOcclusionSpec pins it against a driver-side plain-Scala
+        // re-selection, bit for bit.
+        val pool = ag.withColumn("crk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+          .filter(col("crk") <= RichOccPool)
+          .select(col("src"), col("dst"), col("w"))
+        val withV = pool
+          .join(base.select(col("bid").as("dst"), col("bv").as("dv")), Seq("dst"))
+          .select(col("src"), col("w"), col("dst"), col("dv"))
+        val deg = RichDeg
+        withV
+          .groupBy(col("src"))
+          .agg(collect_list(struct(col("w"), col("dst"), col("dv"))).as("cs"))
+          .flatMap { gr =>
+            val src = gr.getLong(0)
+            val rows = gr.getSeq[org.apache.spark.sql.Row](1)
+            val cand = rows.map { r =>
+              val sq = r.getSeq[Float](2)
+              val a = new Array[Float](sq.length)
+              var j = 0; while (j < sq.length) { a(j) = sq(j); j += 1 }
+              (r.getDouble(0), r.getLong(1), a)
+            }.sortWith { (x, y) =>
+              val c = java.lang.Double.compare(x._1, y._1)
+              if (c != 0) c < 0 else x._2 < y._2
+            }
+            val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Array[Float])]
+            var ci = 0
+            while (ci < cand.length && kept.length < deg) {
+              val c = cand(ci)
+              var occluded = false
+              var ki = 0
+              while (!occluded && ki < kept.length) {
+                val d = fdist(isL2, isCos, c._3, kept(ki)._3)
+                if (d <= c._1) occluded = true
+                ki += 1
+              }
+              if (!occluded) kept += c
+              ci += 1
+            }
+            kept.iterator.zipWithIndex.map { case ((w, dst, _), i) => (src, i + 1, dst, w) }
+          }.toDF("src", "erk", "dst", "w")
+          .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
+      }
+  }
+
+  /** The kernels' shared float-widened left-fold distance (identical
+    * to Vec.metricDist's VecL2Sq→sqrt / VecCosine / VecDot forms). */
+  private[graft] def fdist(isL2: Boolean, isCos: Boolean,
+      a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var e = 0
+    if (isL2) {
+      var s = 0.0
+      while (e < n) { val df = a(e).toDouble - b(e).toDouble; s += df * df; e += 1 }
+      math.sqrt(s)
+    } else if (isCos) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      while (e < n) {
+        val x = a(e).toDouble; val y = b(e).toDouble
+        dot += x * y; na += x * x; nb += y * y; e += 1
+      }
+      -(dot / math.sqrt(na * nb))
+    } else {
+      var dot = 0.0
+      while (e < n) { dot += a(e).toDouble * b(e).toDouble; e += 1 }
+      -dot
+    }
   }
 
   /** The retired joins form of the member-kNN stage (self-join on qid

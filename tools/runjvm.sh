@@ -1,0 +1,16 @@
+#!/bin/bash
+# Direct-JVM runner for graft mains — lets a second main run while an
+# sbt process holds the project lock. Usage: tools/runjvm.sh <MainClass> [args...]
+# Env: SPARK_DRIVER_MEM (default 8g) + the main's own env knobs.
+set -e
+CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -cp "$CP" "$@"
