@@ -171,23 +171,35 @@ object HnswQs3 {
   // returns the 1M-proven (ef=16, r=5, entries=3) at n ≤ 1M so all
   // test-SF oracle hashes are unchanged.
   //   1M  (measured): ef=16 r=5  e=3 → recall 0.985 @ 0.16% visited
-  //   10M (measured, round-10 k=96 graph): ef=32 r=9 e=8 → recall
-  //     0.997 @ 0.037% visited; matched-recall row ef16 r5 → 0.943 @
-  //     0.0151% vs the reference's 0.9397 @ 0.032%
-  //     (README_RoarGraph.md:56-112 — less than half its fraction)
-  /** smallest power-of-two ef in [16, 256] with 16000·ef² ≥ n (the
-    * r9 4000·ef² rule compensated for the sparse k=48 graph with
-    * brute width — ef64 at 10M; the k=96 graph reaches 0.997 at 32) */
+  //   10M (measured, round-11 union-graph sweep — RoutedSweep on m3):
+  //     ef=16 r=5 e=8 → recall 0.9910 @ 0.104% visited; the r10
+  //     ef=32 r=9 point read 0.9997 @ 0.227% on the same graph —
+  //     2.2× the visited for +0.87pt, so the knee moved down a tier
+  //     (in-sample protocol; the held-out story is docs/scale_run.md)
+  /** smallest power-of-two ef in [16, 256] with 40000·ef² ≥ n.
+    * History of the constant, every step measured: the r9 4000·ef²
+    * rule compensated for the sparse k=48 graph with brute width
+    * (ef64 at 10M); the r10 k=96 graph reached 0.997 at ef32
+    * (16000·ef²); the round-11 sweep over the UNION graph (rich ∪
+    * cellKnn — denser again) reads 0.9910 at ef16 where ef32 × 9
+    * visited 2.2× more for +0.87pt, so the constant moves to 40000
+    * (RoutedSweep on m3, docs/scale_run.md §routed re-sweep). Each
+    * graph densification halves the beam the same recall needs. */
   private[graft] def routedEfFor(n: Long): Int = {
     var e = 16
-    while (e < 256 && 16000L * e * e < n) e *= 2
+    while (e < 256 && 40000L * e * e < n) e *= 2
     e
   }
-  /** 5 rounds at ≤1M, +4 per decade, capped at the oracle's unroll */
+  /** 5 rounds through 10M, +2 per decade beyond, capped at the
+    * oracle's unroll — the union graph's beam CONVERGES by round 5 at
+    * 10M (rounds 5→9 at ef16 bought +0.14pt for +38% visited; at ef32
+    * rounds 9→13 bought +0.0000). The old +4/decade tracked the
+    * projection-only graph's diameter; the cellKnn union collapses
+    * it. */
   private[graft] val MaxRoutedRounds = 13
   private[graft] def routedRoundsFor(n: Long): Int = {
-    var r = 5; var m = 1000000L
-    while (r < MaxRoutedRounds && m < n) { r += 4; m *= 10 }
+    var r = 5; var m = 10000000L
+    while (r < MaxRoutedRounds && m < n) { r += 2; m *= 10 }
     r
   }
   /** hub + 3 routed entries at ≤1M; 8 beyond (10M: +1.3pt, cheap) */
@@ -207,10 +219,11 @@ object HnswQs3 {
   private val sqlRoutedKnobs = s"""
       rpar AS (SELECT COUNT(*) AS n FROM bb),
       rknobs AS (SELECT
-        CASE WHEN n <= 4096000 THEN 16 WHEN n <= 16384000 THEN 32
-             WHEN n <= 65536000 THEN 64 WHEN n <= 262144000 THEN 128
+        CASE WHEN n <= 10240000 THEN 16 WHEN n <= 40960000 THEN 32
+             WHEN n <= 163840000 THEN 64 WHEN n <= 655360000 THEN 128
              ELSE 256 END AS ef,
-        CASE WHEN n <= 1000000 THEN 5 WHEN n <= 10000000 THEN 9
+        CASE WHEN n <= 10000000 THEN 5 WHEN n <= 100000000 THEN 7
+             WHEN n <= 1000000000 THEN 9 WHEN n <= 10000000000 THEN 11
              ELSE 13 END AS rr,
         CASE WHEN n <= 1000000 THEN 3 ELSE 8 END AS ents
         FROM rpar)"""

@@ -40,14 +40,26 @@ class DataSizedRulesSpec extends AnyFunSuite {
     assert(queries.HnswQs.richKFor(10000000L) === 96)
   }
 
-  test("routedEfFor: 16 through 4.096M, 32 at 10M (oracle rknobs.ef CASE)") {
+  test("routedEfFor: 16 through 10.24M (r11 union-graph sweep), oracle rknobs.ef CASE") {
     assert(queries.HnswQs3.routedEfFor(1000L) === 16)
     assert(queries.HnswQs3.routedEfFor(1000000L) === 16)
-    assert(queries.HnswQs3.routedEfFor(4096000L) === 16)
-    assert(queries.HnswQs3.routedEfFor(4096001L) === 32)
-    assert(queries.HnswQs3.routedEfFor(10000000L) === 32)
-    assert(queries.HnswQs3.routedEfFor(65536000L) === 64)
-    assert(queries.HnswQs3.routedEfFor(100000000L) === 128)
+    assert(queries.HnswQs3.routedEfFor(10000000L) === 16)
+    assert(queries.HnswQs3.routedEfFor(10240000L) === 16)
+    assert(queries.HnswQs3.routedEfFor(10240001L) === 32)
+    assert(queries.HnswQs3.routedEfFor(40960000L) === 32)
+    assert(queries.HnswQs3.routedEfFor(100000000L) === 64)
+    assert(queries.HnswQs3.routedEfFor(655360000L) === 128)
+    assert(queries.HnswQs3.routedEfFor(1000000000L) === 256)
+  }
+
+  test("routedRoundsFor: 5 through 10M, +2/decade (r11 union-graph sweep), oracle rknobs.rr CASE") {
+    assert(queries.HnswQs3.routedRoundsFor(1000L) === 5)
+    assert(queries.HnswQs3.routedRoundsFor(1000000L) === 5)
+    assert(queries.HnswQs3.routedRoundsFor(10000000L) === 5)
+    assert(queries.HnswQs3.routedRoundsFor(10000001L) === 7)
+    assert(queries.HnswQs3.routedRoundsFor(100000000L) === 7)
+    assert(queries.HnswQs3.routedRoundsFor(1000000000L) === 9)
+    assert(queries.HnswQs3.routedRoundsFor(100000000000L) === 13)
   }
 
   test("nprobeFor: smallest power of two with p*p >= cells, floor 4 (oracle bnp/snp)") {
