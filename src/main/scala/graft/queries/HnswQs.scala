@@ -727,8 +727,12 @@ object HnswQs {
     nQ * kk >= 4L * nB
   /** occlusion candidate pool per source: top-RichOccPool by (w, dst)
     * — the efConstruction convention (bounded pool, heuristic select);
-    * it caps the per-source vector join at N·pool rows */
-  private[graft] val RichOccPool = 128
+    * it caps the per-source vector join at N·pool rows. 96 = 2× the
+    * stored degree: the N·pool·(vector) shuffle is the dense build's
+    * disk bill (the 128-pool first attempt filled the sandbox disk
+    * alongside concurrent jobs), and selection uses well under 2×
+    * budget in practice. */
+  private[graft] val RichOccPool = 96
 
   private[graft] def richGraphFrom(base: DataFrame, queries: DataFrame,
       metric: String, kk: Int, listsOpt: Option[DataFrame] = None): DataFrame = {
@@ -868,45 +872,59 @@ object HnswQs {
         // convention as the pqMFor/routed-knob scale tiers);
         // RichOcclusionSpec pins it against a driver-side plain-Scala
         // re-selection, bit for bit.
+        // slim pool first (ids + w only), checkpointed so the window
+        // sort's shuffle files can free before the fat vector join —
+        // the N·pool·(vector) rows are the dense build's disk bill
         val pool = ag.withColumn("crk", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("src")).orderBy(col("w"), col("dst"))))
           .filter(col("crk") <= RichOccPool)
           .select(col("src"), col("dst"), col("w"))
-        val withV = pool
+          .localCheckpoint()
+        val deg = RichDeg
+        // sort-run kernel, not collect_list: the shuffle sort delivers
+        // each source's candidates already in the strict (w, dst) scan
+        // order, so occlusion is an online pass holding only the ≤ deg
+        // kept vectors — zero aggregation state, rows stream through
+        pool
           .join(base.select(col("bid").as("dst"), col("bv").as("dv")), Seq("dst"))
           .select(col("src"), col("w"), col("dst"), col("dv"))
-        val deg = RichDeg
-        withV
-          .groupBy(col("src"))
-          .agg(collect_list(struct(col("w"), col("dst"), col("dv"))).as("cs"))
-          .flatMap { gr =>
-            val src = gr.getLong(0)
-            val rows = gr.getSeq[org.apache.spark.sql.Row](1)
-            val cand = rows.map { r =>
-              val sq = r.getSeq[Float](2)
-              val a = new Array[Float](sq.length)
-              var j = 0; while (j < sq.length) { a(j) = sq(j); j += 1 }
-              (r.getDouble(0), r.getLong(1), a)
-            }.sortWith { (x, y) =>
-              val c = java.lang.Double.compare(x._1, y._1)
-              if (c != 0) c < 0 else x._2 < y._2
-            }
-            val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Array[Float])]
-            var ci = 0
-            while (ci < cand.length && kept.length < deg) {
-              val c = cand(ci)
-              var occluded = false
-              var ki = 0
-              while (!occluded && ki < kept.length) {
-                val d = fdist(isL2, isCos, c._3, kept(ki)._3)
-                if (d <= c._1) occluded = true
-                ki += 1
+          .repartition(col("src"))
+          .sortWithinPartitions(col("src"), col("w"), col("dst"))
+          .as[(Long, Double, Long, Array[Float])]
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[(Long, Int, Long, Double)] {
+              private var out: Iterator[(Long, Int, Long, Double)] = Iterator.empty
+              private def emitRun(): Unit = {
+                if (!buf.hasNext) return
+                val src = buf.head._1
+                val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Array[Float])]
+                while (buf.hasNext && buf.head._1 == src) {
+                  val (_, w, dst, dv) = buf.next()
+                  if (kept.length < deg) {
+                    var occluded = false
+                    var ki = 0
+                    while (!occluded && ki < kept.length) {
+                      if (fdist(isL2, isCos, dv, kept(ki)._3) <= w) occluded = true
+                      ki += 1
+                    }
+                    if (!occluded) kept += ((w, dst, dv))
+                  }
+                }
+                out = kept.iterator.zipWithIndex.map { case ((w, dst, _), i) =>
+                  (src, i + 1, dst, w)
+                }
               }
-              if (!occluded) kept += c
-              ci += 1
+              override def hasNext: Boolean = {
+                while (!out.hasNext && buf.hasNext) emitRun()
+                out.hasNext
+              }
+              override def next(): (Long, Int, Long, Double) = {
+                if (!hasNext) throw new NoSuchElementException
+                out.next()
+              }
             }
-            kept.iterator.zipWithIndex.map { case ((w, dst, _), i) => (src, i + 1, dst, w) }
           }.toDF("src", "erk", "dst", "w")
           .select(col("src"), col("erk").cast("int").as("erk"), col("dst"), col("w"))
       }
