@@ -50,12 +50,22 @@ object HeldoutCurve {
     val nBase = if (args.length > 1) args(1).toLong else 1000000L
     val nTrain = if (args.length > 2) args(2).toLong else 500000L
     val nEval = if (args.length > 3) args(3).toLong else 2000L
+    // ef:rounds[:deg[:ents[:aqCells]]] — aqCells > 0 replaces the
+    // scale-quantizer anchors with a FINER entry quantizer of that
+    // many cells (protocol-valid: no training-query information; the
+    // closer the seed, the less navigation the beam must do)
     val confs = (if (args.length > 4) args(4)
       else "8:5,8:9,16:5,16:9,32:9,32:13")
       .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
         val p = s.split(":").map(_.trim.toInt)
-        (p(0), p(1), if (p.length > 2) p(2) else 32, if (p.length > 3) p(3) else 8)
+        (p(0), p(1), if (p.length > 2) p(2) else 32, if (p.length > 3) p(3) else 8,
+          if (p.length > 4) p(4) else 0)
       }
+    // cluster count for the generated corpus (m6 = 8, the reference's
+    // synthetic default — isotropic 64d inside each cluster; m7 = 4096
+    // to give neighborhoods genuine local structure like real
+    // embedding manifolds)
+    val nModalities = if (args.length > 5) args(5).toInt else 8
     val nQ = nTrain + nEval
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Tables.session("graft-heldout-curve", cpus)
@@ -67,7 +77,8 @@ object HeldoutCurve {
     val fs = new Path(embPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(embPath, "_SUCCESS"))) {
       val (_, tGen) = time {
-        val raw = SynthData.clustered(spark, nBase + nQ, dim = 64, nModalities = 8, seed = 42L)
+        val raw = SynthData.clustered(spark, nBase + nQ, dim = 64,
+          nModalities = nModalities, seed = 42L)
         val src = raw.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
         raw.join(src, col("vec_id") + 1 === col("src_id"), "left")
           .select(
@@ -167,17 +178,36 @@ object HeldoutCurve {
       "l2", 1).select(col("bid")).distinct()
     val anchorBase = anchorNodes.join(base, Seq("bid")).localCheckpoint()
 
+    // finer entry quantizers on demand (aq conf field): stride-trained
+    // k-means at an explicit cell count + nearest-base anchor per cell
+    val entryAnchors = scala.collection.mutable.HashMap.empty[Int, DataFrame]
+    def anchorsFor(aq: Int): DataFrame = entryAnchors.getOrElseUpdate(aq, {
+      val (centsQ, _) = graft.operators.ProjIndex.ensureIvf(spark, dir, s"entry$aq", aq, 2) {
+        val embB = base.select(col("bid").as("vec_id"), col("bv").as("embedding"))
+        val stride = Ivf.trainStrideFor(n, aq)
+        val train = if (stride <= 1L) embB else embB.filter(col("vec_id") % stride === 0)
+        val c = Ivf.centroids(train, aq, 2).localCheckpoint()
+        (c, Ivf.assign(embB, c))
+      }
+      BruteForce.topk(
+        baseR,
+        centsQ.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+        "l2", 1).select(col("bid")).distinct()
+        .join(base, Seq("bid")).localCheckpoint()
+    })
+
     // ---- phase 4: the sweep ----
     def run(tag: String, qs: DataFrame, gt: DataFrame,
-        ef: Int, rounds: Int, deg: Int, ents: Int): Unit = {
+        ef: Int, rounds: Int, deg: Int, ents: Int, aq: Int): Unit = {
       val richE = rich.filter(col("erk") <= deg).select(col("src"), col("dst"))
       val edges = richE.union(ck)
         .union(ck.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
       val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("src")).head().getLong(0)
+      val aB = if (aq > 0) anchorsFor(aq) else anchorBase
       val aRk = TopK.perGroup(
-        qs.crossJoin(broadcast(anchorBase))
+        qs.crossJoin(broadcast(aB))
           .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
         "qid", "bid", "d", ents, asc = true)
         .select(col("qid"), col("bid")).localCheckpoint()
@@ -191,14 +221,14 @@ object HeldoutCurve {
       val nQs = qs.count().toDouble
       val recall = top.join(gt, Seq("qid", "bid")).count() / nGt
       println(f"HELDOUT_CURVE $tag%s ef=$ef%d rounds=$rounds%d deg=$deg%d ents=$ents%d " +
-        f"nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
+        f"aq=$aq%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
         f"visited_pct=${100.0 * vis / nQs / n}%.4f sec=$sec%.1f")
       System.out.flush()
     }
 
-    confs.foreach { case (ef, rounds, deg, ents) =>
-      run("heldout", qEval, gtEval, ef, rounds, deg, ents)
-      run("insample", qIns, gtIns, ef, rounds, deg, ents)
+    confs.foreach { case (ef, rounds, deg, ents, aq) =>
+      run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq)
+      run("insample", qIns, gtIns, ef, rounds, deg, ents, aq)
     }
     spark.stop()
   }
