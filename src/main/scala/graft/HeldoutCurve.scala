@@ -31,8 +31,10 @@ import org.apache.spark.sql.DataFrame
   * joins form pushed 4.6e9 rows through a window sort — more spill
   * than the sandbox disk).
   *
-  * Usage: runMain graft.HeldoutCurve <dir> [nBase] [nTrain] [nEval] [confs]
-  *   confs = "ef:rounds[:deg[:ents]],..." (default the ef∈{8,16,32} sweep)
+  * Usage: runMain graft.HeldoutCurve <dir> [nBase] [nTrain] [nEval]
+  *   [confs] [nClusters] [dim]
+  *   confs = "ef:rounds[:deg[:ents[:aq]]],..." (default the
+  *   ef∈{8,16,32} sweep)
   * Env: SPARK_GRAFT_CPUS (default 8; SPARK_DRIVER_MEM must cover
   * nTrain-sized brute-force pools — 48g at 500k).
   */
@@ -66,6 +68,9 @@ object HeldoutCurve {
     // to give neighborhoods genuine local structure like real
     // embedding manifolds)
     val nModalities = if (args.length > 5) args(5).toInt else 8
+    // corpus dimensionality (m8 runs the structured-control protocol
+    // at the reference's 200d)
+    val dim = if (args.length > 6) args(6).toInt else 64
     val nQ = nTrain + nEval
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Tables.session("graft-heldout-curve", cpus)
@@ -77,7 +82,7 @@ object HeldoutCurve {
     val fs = new Path(embPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(embPath, "_SUCCESS"))) {
       val (_, tGen) = time {
-        val raw = SynthData.clustered(spark, nBase + nQ, dim = 64,
+        val raw = SynthData.clustered(spark, nBase + nQ, dim = dim,
           nModalities = nModalities, seed = 42L)
         val src = raw.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
         raw.join(src, col("vec_id") + 1 === col("src_id"), "left")
