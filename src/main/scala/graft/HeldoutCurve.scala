@@ -55,7 +55,9 @@ object HeldoutCurve {
     // ef:rounds[:deg[:ents[:aqCells]]] — aqCells > 0 replaces the
     // scale-quantizer anchors with a FINER entry quantizer of that
     // many cells (protocol-valid: no training-query information; the
-    // closer the seed, the less navigation the beam must do)
+    // closer the seed, the less navigation the beam must do);
+    // aqCells = -1 auto-resolves the depth from the corpus via
+    // Ivf.entryLadder/entryCellsFor (lesson 42's pre-flight as a rule)
     val confs = (if (args.length > 4) args(4)
       else "8:5,8:9,16:5,16:9,32:9,32:13")
       .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
@@ -184,9 +186,20 @@ object HeldoutCurve {
     val anchorBase = anchorNodes.join(base, Seq("bid")).localCheckpoint()
 
     // finer entry quantizers on demand (aq conf field): stride-trained
-    // k-means at an explicit cell count + nearest-base anchor per cell
+    // k-means at an explicit cell count + nearest-base anchor per cell;
+    // aq = -1 resolves the depth from the corpus's own error ladder
+    lazy val autoAq = {
+      val lad = Ivf.entryLadder(
+        base.select(col("bid").as("vec_id"), col("bv").as("embedding")), n)
+      val r = Ivf.entryCellsFor(lad)
+      println(s"HELDOUT_CURVE entry_ladder=${lad.map { case (c, d) =>
+        f"$c%d:$d%.6f" }.mkString(",")} resolved_aq=$r")
+      r
+    }
     val entryAnchors = scala.collection.mutable.HashMap.empty[Int, DataFrame]
-    def anchorsFor(aq: Int): DataFrame = entryAnchors.getOrElseUpdate(aq, {
+    def anchorsFor(aq0: Int): DataFrame = {
+      val aq = if (aq0 == -1) autoAq else aq0
+      entryAnchors.getOrElseUpdate(aq, {
       val (centsQ, _) = graft.operators.ProjIndex.ensureIvf(spark, dir, s"entry$aq", aq, 2) {
         val embB = base.select(col("bid").as("vec_id"), col("bv").as("embedding"))
         val stride = Ivf.trainStrideFor(n, aq)
@@ -199,7 +212,8 @@ object HeldoutCurve {
         centsQ.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
         "l2", 1).select(col("bid")).distinct()
         .join(base, Seq("bid")).localCheckpoint()
-    })
+      })
+    }
 
     // ---- phase 4: the sweep ----
     def run(tag: String, qs: DataFrame, gt: DataFrame,
@@ -210,7 +224,7 @@ object HeldoutCurve {
         .localCheckpoint()
       val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("src")).head().getLong(0)
-      val aB = if (aq > 0) anchorsFor(aq) else anchorBase
+      val aB = if (aq != 0) anchorsFor(aq) else anchorBase
       val aRk = TopK.perGroup(
         qs.crossJoin(broadcast(aB))
           .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),

@@ -127,6 +127,71 @@ object Ivf {
       bc.column(graft.functions.VecNearestCid(bc.expr(col("embedding")), cids, bank)))
   }
 
+  /** Entry-quantizer resolution rule (round 11, lesson 42 / m7).
+    *
+    * m7 measured the binding constraint on clustered corpora: the
+    * routed search's `cellsFor` (≈4√N) anchor quantizer left a
+    * 4,096-cluster 1M corpus component-starved (recall 0.18–0.24,
+    * visited/q collapsed — beam exhaustion), while a 4,096-cell entry
+    * quantizer recovered held-out 0.857–0.887. The detection signal is
+    * the quantization-error LADDER: mean d² on a fixed eval sample at
+    * cells = cellsFor(n)·{1,2,4,…}. On unstructured data a doubling
+    * buys only the isotropic high-dimensional rate (2^(-2/d) ≈ 0.98 at
+    * 64d — m6's isotropic control); on a corpus whose cluster count
+    * exceeds the current depth it buys a STRUCTURAL drop (m7: 0.65 at
+    * 2,048, 0.41 at 4,096 where the clusters resolve). The sharp drop
+    * is back-loaded (the first doubling read an isotropic-looking
+    * 0.90), so the rule scans the FULL ladder and takes the deepest
+    * doubling still under `EntryStructureRatio` — never the first
+    * flat step.
+    *
+    * Probe cost is build-time and bounded: each depth trains on the
+    * standard `trainStrideFor` sample (≤128·cells rows) and the eval
+    * sample is fixed at the shallowest depth's stride (≈128·cellsFor
+    * rows, depth-independent). The ladder caps at maxMult·cellsFor and
+    * `MaxCells`. Harness-level by design (HeldoutCurve/ScaleRun entry
+    * builds): the catalog's oracle-mirrored quantizer stays
+    * `cellsFor`. */
+  val EntryStructureRatio = 0.85
+  val EntryMaxMult = 32
+
+  /** (cells, quantized mean d² on the fixed eval sample) per doubling.
+    * `emb` columns: (vec_id, embedding). Sums quantize per-row d² to
+    * integers first (determinism rule — exact under any
+    * partitioning). */
+  def entryLadder(emb: DataFrame, n: Long, maxMult: Int = EntryMaxMult,
+      iters: Int = 2): Seq[(Int, Double)] = {
+    val c0 = cellsFor(n)
+    val evalStride = trainStrideFor(n, c0)
+    val eval = (if (evalStride <= 1L) emb
+      else emb.filter(col("vec_id") % evalStride === 0)).localCheckpoint()
+    val evalN = eval.count()
+    val steps = Iterator.iterate(c0)(_ * 2)
+      .takeWhile(c => c <= c0.toLong * maxMult && c <= MaxCells && c < n)
+      .toSeq
+    steps.map { cells =>
+      val stride = trainStrideFor(n, cells)
+      val train = if (stride <= 1L) emb else emb.filter(col("vec_id") % stride === 0)
+      val cents = centroids(train, cells, iters).localCheckpoint()
+      val meanD2 = assign(eval, cents)
+        .join(broadcast(cents), Seq("cid"))
+        .select(floor(Vec.l2sqFast(col("embedding"), col("cv"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("d2q"))
+        .agg(sum(col("d2q"))).head().getLong(0).toDouble / 1e6 / evalN
+      (cells, meanD2)
+    }
+  }
+
+  /** The resolved entry-quantizer depth: the deepest ladder step whose
+    * doubling ratio is still structural (< EntryStructureRatio);
+    * cellsFor(n) when no doubling is. */
+  def entryCellsFor(ladder: Seq[(Int, Double)]): Int = {
+    val structural = ladder.zip(ladder.tail).filter {
+      case ((_, prev), (_, cur)) => cur < prev * EntryStructureRatio
+    }
+    structural.lastOption.map(_._2._1).getOrElse(ladder.head._1)
+  }
+
   /** nprobe nearest centroids per query → candidates from those cells
     * → exact rerank top-k. */
   def search(
