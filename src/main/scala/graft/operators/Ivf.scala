@@ -149,9 +149,12 @@ object Ivf {
     * standard `trainStrideFor` sample (≤128·cells rows) and the eval
     * sample is fixed at the shallowest depth's stride (≈128·cellsFor
     * rows, depth-independent). The ladder caps at maxMult·cellsFor and
-    * `MaxCells`. Harness-level by design (HeldoutCurve/ScaleRun entry
-    * builds): the catalog's oracle-mirrored quantizer stays
-    * `cellsFor`. */
+    * `MaxCells`. Consumed by the catalog's routed-search anchors
+    * (HnswQs3.resolvedEntryCells — persisted ladder artifact, oracle
+    * mirrored by SqlIvf.entryCtes) and the scale harnesses
+    * (HeldoutCurve aq=-1, EntryProbe); the CELL substrate (cellKnn,
+    * ivf_search) stays at `cellsFor` — only entry seeding needs
+    * cluster resolution, m7's design. */
   val EntryStructureRatio = 0.85
   val EntryMaxMult = 32
 

@@ -264,26 +264,78 @@ object HnswQs3 {
     * index artifacts load persisted; fully deterministic, so unlike
     * the timed sweep this operating point is oracle-able end to end
     * (rich chain + SqlIvf quantizer + cell-kNN CTE + unrolled beam). */
-  /** The routing table (nearest base node per quantizer cell) is part
-    * of the index, not the query — build-once/load-many like the graph
-    * and quantizer it derives from (warmed by Bench alongside them).
+  /** The persisted entry-resolution ladder (Ivf.entryLadder) for the
+    * corpus behind `dir` — quantized mean-d² per doubling depth over
+    * the base side, built once and loaded thereafter (the ladder is a
+    * build-time corpus measurement, exactly the lesson-20 artifact
+    * shape; EntryProbe is its standalone pre-flight form). */
+  private[graft] def entryLadderTable(s: SparkSession, dir: String): Seq[(Int, Double)] = {
+    val df = graft.operators.ProjIndex.ensureTable(s, dir, "entry_ladder") {
+      val n = Tables.baseCount(s, dir)
+      val emb = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      import s.implicits._
+      graft.operators.Ivf.entryLadder(emb, n).toDF("cells", "mean_d2").coalesce(1)
+    }
+    df.orderBy(col("cells")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+  }
+
+  /** The resolved entry-quantizer depth for the routed search's
+    * anchors (lesson 42, wired into the catalog in round 11): the
+    * deepest ladder doubling whose improvement ratio is still
+    * structural, the base `Ivf.cellsFor` depth when none is — m7
+    * measured the difference on a 4,096-cluster 1M corpus as recall
+    * 0.24 → 0.876 (docs/scale_run.md §m7): `cellsFor` anchors track
+    * √N, not cluster count, and a beam seeded below the corpus's
+    * cluster resolution exhausts its graph components. Corpora with
+    * no valid ladder step (n ≤ cellsFor(n)) resolve to base. */
+  private[graft] def resolvedEntryCells(s: SparkSession, dir: String): Int = {
+    val c0 = graft.operators.Ivf.cellsFor(Tables.baseCount(s, dir))
+    val lad = entryLadderTable(s, dir)
+    if (lad.isEmpty) c0 else graft.operators.Ivf.entryCellsFor(lad)
+  }
+
+  /** The routing table (nearest base node per ENTRY-quantizer cell) is
+    * part of the index, not the query — build-once/load-many like the
+    * graph and quantizer it derives from (warmed by Bench alongside
+    * them). The entry quantizer's depth comes from the corpus's own
+    * error ladder (resolvedEntryCells); when the resolver holds at
+    * base the shared sweep quantizer IS the entry quantizer (the
+    * ladder's base chain is bit-identical to sweepIvf's build), and a
+    * deeper resolve trains a finer one at the same stride/init/
+    * iteration rules — the artifact tag carries the resolved depth so
+    * a data change can never serve stale anchors.
     * Until round 10 anchors were restricted to rich-graph MEMBERS (a
     * non-member anchor scored but never expanded); with the cell-kNN
     * union every base node has out-edges, so the restriction is gone
     * and one L2 cell→node table serves every metric (the `metric`
     * parameter is kept for call-site compatibility). */
   private[graft] def routedAnchors(s: SparkSession, dir: String,
-      metric: String = "l2"): DataFrame =
-    graft.operators.ProjIndex.ensureTable(s, dir, "routed_anchor_nodes") {
+      metric: String = "l2"): DataFrame = {
+    val n = Tables.baseCount(s, dir)
+    val c0 = graft.operators.Ivf.cellsFor(n)
+    val aq = resolvedEntryCells(s, dir)
+    graft.operators.ProjIndex.ensureTable(s, dir, s"routed_anchor_nodes_aq$aq") {
       val base = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-      val (cents, _) = HnswQs.sweepIvf(s, dir)
+      val cents =
+        if (aq == c0) HnswQs.sweepIvf(s, dir)._1
+        else graft.operators.ProjIndex.ensureIvf(s, dir, s"entry$aq", aq, 2) {
+          val embB = base.select(col("bid").as("vec_id"), col("bv").as("embedding"))
+          val stride = graft.operators.Ivf.trainStrideFor(n, aq)
+          val train = if (stride <= 1L) embB
+            else embB.filter(col("vec_id") % stride === 0)
+          val c = graft.operators.Ivf.centroids(train, aq, 2).localCheckpoint()
+          (c, graft.operators.Ivf.assign(embB, c))
+        }._1
       BruteForce.topk(
         base,
         cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
         "l2", 1)
         .select(col("bid")).distinct()
     }
+  }
 
   /** Cell-local base kNN — the universal connectivity substrate the
     * round-10 held-out probe showed the projection graph lacks. A
@@ -620,11 +672,13 @@ object HnswQs3 {
   private[graft] def routedCountedArtifact(s: SparkSession, dir: String,
       metric: String): DataFrame = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
-    // _u$CellK: the edge set gained the cell-kNN union in round 10 —
-    // the tag must change with the build semantics or a pre-union
-    // artifact would alias the new search
+    val aq = resolvedEntryCells(s, dir)
+    // _u$CellK: the edge set gained the cell-kNN union in round 10;
+    // _aq: the resolved entry depth joined the key in round 11 — the
+    // tag must change with the build semantics or a pre-union /
+    // pre-resolver artifact would alias the new search
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u$CellK") {
+      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u${CellK}_aq$aq") {
       val t0 = System.nanoTime()
       val (res, visited) = routedSearchCounted(s, dir, metric)
       val rows = res.localCheckpoint()
@@ -659,13 +713,16 @@ object HnswQs3 {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** The oracle: rich chain + sized quantizer + unrolled beam, all in
-    * the query's metric (the quantizer cell→member mapping stays L2 in
-    * BOTH engines — it mirrors the k-means geometry, not the query
-    * metric). */
+  /** The oracle: rich chain + sized quantizer + ENTRY-RESOLUTION
+    * ladder (SqlIvf.entryCtes — the full lesson-42 rule re-derived in
+    * SQL, which also staleness-guards the persisted ladder/entry
+    * artifacts) + unrolled beam, all in the query's metric (the
+    * quantizer cell→member mapping stays L2 in BOTH engines — it
+    * mirrors the k-means geometry, not the query metric). */
   private def routedSql(metric: String): String = s"""
       WITH ${HnswQs.sqlRichCtesFor(metric)},
       ${SqlIvf.sizedCtes("vec_id % 50 <> 0", 2, "s")},
+      ${SqlIvf.entryCtes("s", 2, "eq")},
       qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
       bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
       ${sqlRoutedKnobs},
@@ -684,7 +741,7 @@ object HnswQs3 {
       hub AS (SELECT src AS ebid FROM (
                 SELECT src, COUNT(*) AS d FROM proj GROUP BY src)
               ORDER BY d DESC, src LIMIT 1),
-      cfq AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM scents),
+      cfq AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM eqecen),
       anch AS (SELECT DISTINCT bid FROM (
                  SELECT c.cid, b.bid,
                         ROW_NUMBER() OVER (PARTITION BY c.cid

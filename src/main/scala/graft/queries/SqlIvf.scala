@@ -101,4 +101,87 @@ object SqlIvf {
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
         FROM ${p}e e CROSS JOIN ${p}cents c) WHERE rn = 1)"""
   }
+
+  /** One entry-ladder Lloyd chain at `mult`× the sized base depth
+    * (Ivf.entryLadder's per-doubling quantizer): k = base k · mult,
+    * training stride re-derived for THAT k (max(1, n // (128·k))),
+    * same init / iteration / quantized-mean shape as `sizedCtes`.
+    * Requires `${bp}e`, `${bp}prm`, `${bp}kk` in scope; emits
+    * `${p}cents`. */
+  private def ladderChain(bp: String, p: String, mult: Int, iters: Int): String = {
+    val init =
+      s"""${p}kk AS (SELECT k * $mult AS k FROM ${bp}kk),
+      ${p}st AS (SELECT GREATEST(1, n // (128 * k)) AS stride FROM ${bp}prm, ${p}kk),
+      ${p}t AS (SELECT vec_id, v FROM ${bp}e
+        WHERE vec_id % (SELECT stride FROM ${p}st) = 0),
+      ${p}c0 AS (SELECT CAST(rn0 - 1 AS BIGINT) AS cid, v AS cv
+        FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM ${p}t)
+        WHERE rn0 <= (SELECT k FROM ${p}kk))"""
+    val rounds = (1 to iters).map { t =>
+      s"""${p}a$t AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
+        FROM ${p}t e CROSS JOIN ${p}c${t - 1} c) WHERE rn = 1),
+      ${p}x$t AS (SELECT cid, u.i AS dim, CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS xq
+        FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1), i -> {'i': i, 'x': v[i]})) AS u
+              FROM ${p}a$t)),
+      ${p}c$t AS (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+        FROM (SELECT cid, dim, SUM(xq) AS s, COUNT(*) AS n FROM ${p}x$t GROUP BY cid, dim)
+        GROUP BY cid)"""
+    }.mkString(",\n      ")
+    s"""$init,
+      $rounds,
+      ${p}cents AS (SELECT cid, cv FROM ${p}c$iters)"""
+  }
+
+  /** DuckDB mirror of the ENTRY-RESOLUTION rule (Ivf.entryLadder +
+    * Ivf.entryCellsFor, lesson 42): quantized mean-d² on the fixed
+    * eval sample at base-depth doublings k·{2,4,…,EntryMaxMult},
+    * deepest doubling whose improvement ratio is still structural
+    * (< EntryStructureRatio) wins, base k when none is. The five
+    * doubling chains are a STATIC unroll (EntryMaxMult = 32 = 2⁵ is a
+    * rule constant, not data); per-depth VALIDITY (cells ≤ 32·k,
+    * ≤ MaxCells, < n) is data-computed exactly like the Scala
+    * takeWhile, so corpora whose ladder cuts short gate rows off
+    * instead of changing the unroll. Emits `${p}aq` (resolved depth)
+    * and `${p}ecen` (cid, cv of the resolved entry quantizer —
+    * base `${bp}cents` itself when the resolver holds at base).
+    * Requires `sizedCtes(bp)` in scope. */
+  def entryCtes(bp: String, iters: Int, p: String): String = {
+    val depths = 1 to 5 // 2^5 = Ivf.EntryMaxMult
+    val chains = depths.map(j => ladderChain(bp, s"$p$j", 1 << j, iters))
+      .mkString(",\n      ")
+    def meanD2(j: Int): String = {
+      val cents = if (j == 0) s"${bp}cents" else s"$p${j}cents"
+      s"""${p}d$j AS (SELECT (SELECT k * ${1 << j} FROM ${bp}kk) AS cells,
+          (CAST(SUM(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+            / (SELECT en FROM ${p}en) AS md
+        FROM (SELECT d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM (SELECT e.vec_id, c.cid, ${l2sq("e.v", "c.cv")} AS d2
+                    FROM ${p}ev e CROSS JOIN $cents c))
+        WHERE rn = 1)"""
+    }
+    val dRows = (0 to 5).map(meanD2).mkString(",\n      ")
+    val ecal = (s"SELECT (SELECT k FROM ${bp}kk) AS cells, cid, cv FROM ${bp}cents" +:
+      depths.map(j =>
+        s"SELECT (SELECT k * ${1 << j} FROM ${bp}kk), cid, cv FROM $p${j}cents"))
+      .mkString("\n          UNION ALL ")
+    val ratio = graft.operators.Ivf.EntryStructureRatio
+    s"""${p}ev AS (SELECT vec_id, v FROM ${bp}e
+        WHERE vec_id % (SELECT GREATEST(1, n // (128 * k)) FROM ${bp}prm, ${bp}kk) = 0),
+      ${p}en AS (SELECT COUNT(*) AS en FROM ${p}ev),
+      $chains,
+      $dRows,
+      ${p}lv AS (SELECT cells, md FROM (
+          SELECT * FROM ${p}d0 UNION ALL SELECT * FROM ${p}d1
+          UNION ALL SELECT * FROM ${p}d2 UNION ALL SELECT * FROM ${p}d3
+          UNION ALL SELECT * FROM ${p}d4 UNION ALL SELECT * FROM ${p}d5), ${bp}prm, ${bp}kk
+        WHERE cells <= 32 * k AND cells <= 65536 AND cells < n),
+      ${p}stp AS (SELECT cells, md, LAG(md) OVER (ORDER BY cells) AS pmd FROM ${p}lv),
+      ${p}aq AS (SELECT COALESCE(
+          MAX(CASE WHEN pmd IS NOT NULL AND md < pmd * CAST($ratio AS DOUBLE) THEN cells END),
+          (SELECT k FROM ${bp}kk)) AS aq FROM ${p}stp),
+      ${p}ecal AS ($ecal),
+      ${p}ecen AS (SELECT cid, cv FROM ${p}ecal WHERE cells = (SELECT aq FROM ${p}aq))"""
+  }
 }

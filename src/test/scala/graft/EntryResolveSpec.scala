@@ -44,4 +44,35 @@ class EntryResolveSpec extends AnyFunSuite with SharedSpark {
     val b = Ivf.entryLadder(e.repartition(11), n)
     assert(a == b, s"ladders differ across partitionings:\n$a\n$b")
   }
+
+  // ---- catalog wiring (round 11): the routed search's anchors come
+  // from the resolver, not raw cellsFor ----
+
+  test("catalog resolver deepens on the clustered testdata corpus") {
+    // the driver's synthetic embeddings are clustered: the measured
+    // ladder at sf0.001 reads ratios 0.93/0.89/0.79/0.58 → resolves
+    // 256 of base 16 (EntryProbe). Pins both the persisted-ladder
+    // round-trip and the resolve; the DuckDB oracle re-derives the
+    // same ladder inside graph_routed_search's SQL (SqlIvf.entryCtes),
+    // so a drift here would also fail the correctness gate.
+    val c0 = Ivf.cellsFor(Tables.baseCount(spark, sf))
+    val aq = queries.HnswQs3.resolvedEntryCells(spark, sf)
+    assert(c0 == 16, s"sf0.001 base depth moved: $c0")
+    assert(aq == 256, s"sf0.001 should resolve 256 (measured); got $aq")
+  }
+
+  test("routed anchors use the resolved entry quantizer") {
+    val anchors = queries.HnswQs3.routedAnchors(spark, sf)
+    val nAnchors = anchors.count()
+    val c0 = Ivf.cellsFor(Tables.baseCount(spark, sf))
+    // one candidate anchor per ENTRY cell (distinct members): far more
+    // than cellsFor could yield, bounded by the resolved depth
+    assert(nAnchors > c0,
+      s"anchors should outnumber the base depth $c0; got $nAnchors")
+    assert(nAnchors <= 256, s"anchors bounded by resolved cells; got $nAnchors")
+    // every anchor is a base-side member
+    val base = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 =!= 0).select(col("vec_id").as("bid"))
+    assert(anchors.join(base, Seq("bid"), "left_anti").count() == 0L)
+  }
 }
