@@ -215,7 +215,7 @@ object HnswQs3 {
   /** The oracle's data-sized knobs: the SAME integer rules as
     * routedEfFor/routedRoundsFor/routedEntriesFor, as a CASE ladder
     * over the bb count (thresholds are the exact loop boundaries:
-    * 4000·ef² for ef, decades for rounds). */
+    * 40000·ef² for ef, decades for rounds). */
   private val sqlRoutedKnobs = s"""
       rpar AS (SELECT COUNT(*) AS n FROM bb),
       rknobs AS (SELECT
