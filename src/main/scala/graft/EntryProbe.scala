@@ -34,7 +34,7 @@ object EntryProbe {
         ratio.fold("")(r => f" ratio_vs_prev=$r%.4f"))
       Some(meanD2)
     }
-    println(s"ENTRY_PROBE resolved=${Ivf.entryCellsFor(rows)} base=${Ivf.cellsFor(n)}")
+    println(s"ENTRY_PROBE resolved=${Ivf.entryCellsFor(rows, Ivf.dimOf(emb))} base=${Ivf.cellsFor(n)}")
     spark.stop()
   }
 }

@@ -73,6 +73,11 @@ object HeldoutCurve {
     // corpus dimensionality (m8 runs the structured-control protocol
     // at the reference's 200d)
     val dim = if (args.length > 6) args(6).toInt else 64
+    // corpus generator: "gauss" = SynthData.clustered (m5–m9),
+    // "hostile" = clusteredHostile (round 12 — heteroscedastic,
+    // mixed-size, correlated-dimension clusters stressing the entry
+    // resolver's calibration)
+    val gen = if (args.length > 7) args(7) else "gauss"
     val nQ = nTrain + nEval
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Tables.session("graft-heldout-curve", cpus)
@@ -84,8 +89,8 @@ object HeldoutCurve {
     val fs = new Path(embPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(embPath, "_SUCCESS"))) {
       val (_, tGen) = time {
-        val raw = SynthData.clustered(spark, nBase + nQ, dim = dim,
-          nModalities = nModalities, seed = 42L)
+        val raw = (if (gen == "hostile") SynthData.clusteredHostile _
+          else SynthData.clustered _)(spark, nBase + nQ, dim, nModalities, 42L)
         val src = raw.select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
         raw.join(src, col("vec_id") + 1 === col("src_id"), "left")
           .select(
@@ -191,7 +196,7 @@ object HeldoutCurve {
     lazy val autoAq = {
       val lad = Ivf.entryLadder(
         base.select(col("bid").as("vec_id"), col("bv").as("embedding")), n)
-      val r = Ivf.entryCellsFor(lad)
+      val r = Ivf.entryCellsFor(lad, dim)
       println(s"HELDOUT_CURVE entry_ladder=${lad.map { case (c, d) =>
         f"$c%d:$d%.6f" }.mkString(",")} resolved_aq=$r")
       r

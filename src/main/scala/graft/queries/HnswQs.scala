@@ -316,7 +316,7 @@ object HnswQs {
       val ivfRows = nps.map { np =>
         val visited = (1 to np).map(r => cntByRnk.getOrElse(r, 0L)).sum / nQ
         ("ivf", np, hitsByNp.getOrElse(np, 0L) / nGt, visited, 0, ivfWallMs,
-          nQ / (ivfWallMs / 1000.0), nps.size)
+          nQ / (ivfWallMs / 1000.0), nps.size, 0)
       }
       // adaptive point (ivf_search_adaptive's rule over the same scored
       // candidates): param = α×100
@@ -334,7 +334,7 @@ object HnswQs {
         val hits = top.join(gt, Seq("qid", "bid")).count()
         val visited = probedCand.count() / nQ
         ("adaptive", (alpha * 100).round.toInt, hits / nGt, visited, 0, wallMs,
-          nQ / (wallMs / 1000.0), 1)
+          nQ / (wallMs / 1000.0), 1, 0)
       }
       val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
           VectorQs2.roarProjectionGraph.fn(s, dir)
@@ -354,7 +354,7 @@ object HnswQs {
         val wallMs = nanos / 1e6
         val hits = top.join(gt, Seq("qid", "bid")).count()
         ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs,
-          nQ / (wallMs / 1000.0), 1)
+          nQ / (wallMs / 1000.0), 1, 0)
       }
       // entry-point-count sweep (plot_entry_points_comparison.py /
       // hnsw_with_bridges_optimized.py:137-274): same graph, ef and
@@ -415,7 +415,7 @@ object HnswQs {
         .map(r => r.getAs[Int]("tag") -> r.getAs[Long]("count")).toMap
       val multiRows = multiNs.map { n =>
         ("multi", n, hitsMulti.getOrElse(n, 0L) / nGt, visMulti.getOrElse(n, 0L) / nQ,
-          3, multiWallMs, nQ / (multiWallMs / 1000.0), multiNs.size)
+          3, multiWallMs, nQ / (multiWallMs / 1000.0), multiNs.size, 8)
       }
       // high-recall operating point (the reference operates graph search
       // at recall 0.69-0.99, README_RoarGraph.md:56-112): rich graph at
@@ -454,7 +454,7 @@ object HnswQs {
       val wideRows = wideEfs.map { wideEf =>
         ("wide", wideEf, hitsWide.getOrElse(wideEf, 0L) / nGt,
           visWide.getOrElse(wideEf, 0L) / nQ, 5, wideWallMs,
-          nQ / (wideWallMs / 1000.0), wideEfs.size)
+          nQ / (wideWallMs / 1000.0), wideEfs.size, 8)
       }
       // routed operating point on the reference's HEADLINE metric —
       // inner product after normalization (README_RoarGraph.md:45-47):
@@ -470,6 +470,12 @@ object HnswQs {
       val gtIp = VectorQs.gtTopk(s, dir, "ip", 10).select(col("qid"), col("bid"))
         .localCheckpoint()
       val nGtIp = gtIp.count().toDouble
+      // entry_cells (round 12): the entry-quantizer depth behind each
+      // row's seeds — 0 for families without one, 8 for the fixed
+      // anchor quantizer (multi/wide), the RESOLVED ladder depth for
+      // the routed row (the operating point the catalog ships), so a
+      // regression in entry resolution is visible in the sweep output
+      // rather than hidden behind the aq-tagged artifact name
       val routedRows = Seq("ip").map { m =>
         val (routedEf, routedRounds, _) = HnswQs3.routedKnobsFor(s, dir)
         val art = HnswQs3.routedCountedArtifact(s, dir, m).localCheckpoint()
@@ -479,11 +485,12 @@ object HnswQs {
         val hits = art.select(col("qid"), col("bid"))
           .join(gtIp, Seq("qid", "bid")).count()
         (s"routed_$m", routedEf, hits / nGtIp, visitedTotal / nQ,
-          routedRounds, wallMs, nQ / (wallMs / 1000.0), 1)
+          routedRounds, wallMs, nQ / (wallMs / 1000.0), 1,
+          HnswQs3.resolvedEntryCells(s, dir))
       }
       (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
         .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms",
-          "qps", "batch_n")
+          "qps", "batch_n", "entry_cells")
         .orderBy(col("method"), col("param"))
     },
     None)

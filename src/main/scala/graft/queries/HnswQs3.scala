@@ -293,7 +293,9 @@ object HnswQs3 {
   private[graft] def resolvedEntryCells(s: SparkSession, dir: String): Int = {
     val c0 = graft.operators.Ivf.cellsFor(Tables.baseCount(s, dir))
     val lad = entryLadderTable(s, dir)
-    if (lad.isEmpty) c0 else graft.operators.Ivf.entryCellsFor(lad)
+    if (lad.isEmpty) c0
+    else graft.operators.Ivf.entryCellsFor(lad,
+      graft.operators.Ivf.dimOf(Tables.t(s, dir, "embeddings")))
   }
 
   /** The routing table (nearest base node per ENTRY-quantizer cell) is
@@ -319,16 +321,22 @@ object HnswQs3 {
     graft.operators.ProjIndex.ensureTable(s, dir, s"routed_anchor_nodes_aq$aq") {
       val base = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      // centroids-only artifact (r11 ADVICE 4): the anchor build
+      // consumes nothing but the entry quantizer's centers, so the
+      // deepen branch persists them via ensureTable instead of paying
+      // an ensureIvf's full-base assignment scan + N-row parquet
+      // write that no consumer reads (HeldoutCurve's harness-side
+      // ensureIvf is left unchanged so its existing m7/m8 entry
+      // artifacts keep loading instead of rebuilding)
       val cents =
         if (aq == c0) HnswQs.sweepIvf(s, dir)._1
-        else graft.operators.ProjIndex.ensureIvf(s, dir, s"entry$aq", aq, 2) {
+        else graft.operators.ProjIndex.ensureTable(s, dir, s"entry_cents_aq$aq") {
           val embB = base.select(col("bid").as("vec_id"), col("bv").as("embedding"))
           val stride = graft.operators.Ivf.trainStrideFor(n, aq)
           val train = if (stride <= 1L) embB
             else embB.filter(col("vec_id") % stride === 0)
-          val c = graft.operators.Ivf.centroids(train, aq, 2).localCheckpoint()
-          (c, graft.operators.Ivf.assign(embB, c))
-        }._1
+          graft.operators.Ivf.centroids(train, aq, 2)
+        }
       BruteForce.topk(
         base,
         cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),

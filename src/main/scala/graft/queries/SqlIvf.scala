@@ -138,17 +138,28 @@ object SqlIvf {
     * Ivf.entryCellsFor, lesson 42): quantized mean-d² on the fixed
     * eval sample at base-depth doublings k·{2,4,…,EntryMaxMult},
     * deepest doubling whose improvement ratio is still structural
-    * (< EntryStructureRatio) wins, base k when none is. The five
-    * doubling chains are a STATIC unroll (EntryMaxMult = 32 = 2⁵ is a
-    * rule constant, not data); per-depth VALIDITY (cells ≤ 32·k,
-    * ≤ MaxCells, < n) is data-computed exactly like the Scala
-    * takeWhile, so corpora whose ladder cuts short gate rows off
-    * instead of changing the unroll. Emits `${p}aq` (resolved depth)
-    * and `${p}ecen` (cid, cv of the resolved entry quantizer —
-    * base `${bp}cents` itself when the resolver holds at base).
-    * Requires `sizedCtes(bp)` in scope. */
+    * (< entryStructureRatioFor(d)) wins, base k when none is. The
+    * doubling chains are a STATIC unroll whose count derives from
+    * log2(Ivf.EntryMaxMult) — a rule constant, not data — and the
+    * validity bounds interpolate Ivf.EntryMaxMult / Ivf.MaxCells, so
+    * a constant change in the Scala rule regenerates the mirror
+    * rather than desynchronizing from it (r11 ADVICE 1); per-depth
+    * VALIDITY (cells ≤ maxMult·k, ≤ MaxCells, < n) is data-computed
+    * exactly like the Scala takeWhile, so corpora whose ladder cuts
+    * short gate rows off instead of changing the unroll. The
+    * structural threshold is DIMENSION-AWARE (round 12):
+    * min(EntryStructureRatio, floor((2^(-2/d) − margin)·10⁴)/10⁴)
+    * computed from len(v) — the 1e-4 quantization makes the pow term
+    * bit-identical across JVM and libm for every d ≤ 4096
+    * (Ivf.entryStructureRatioFor is the Scala side). Emits `${p}aq`
+    * (resolved depth) and `${p}ecen` (cid, cv of the resolved entry
+    * quantizer — base `${bp}cents` itself when the resolver holds at
+    * base). Requires `sizedCtes(bp)` in scope. */
   def entryCtes(bp: String, iters: Int, p: String): String = {
-    val depths = 1 to 5 // 2^5 = Ivf.EntryMaxMult
+    val maxMult = graft.operators.Ivf.EntryMaxMult
+    val maxCells = graft.operators.Ivf.MaxCells
+    val nDepths = Integer.numberOfTrailingZeros(maxMult) // 2^nDepths = maxMult
+    val depths = 1 to nDepths
     val chains = depths.map(j => ladderChain(bp, s"$p$j", 1 << j, iters))
       .mkString(",\n      ")
     def meanD2(j: Int): String = {
@@ -161,25 +172,29 @@ object SqlIvf {
                     FROM ${p}ev e CROSS JOIN $cents c))
         WHERE rn = 1)"""
     }
-    val dRows = (0 to 5).map(meanD2).mkString(",\n      ")
+    val dRows = (0 to nDepths).map(meanD2).mkString(",\n      ")
+    val dUnion = (0 to nDepths).map(j => s"SELECT * FROM ${p}d$j")
+      .mkString("\n          UNION ALL ")
     val ecal = (s"SELECT (SELECT k FROM ${bp}kk) AS cells, cid, cv FROM ${bp}cents" +:
       depths.map(j =>
         s"SELECT (SELECT k * ${1 << j} FROM ${bp}kk), cid, cv FROM $p${j}cents"))
       .mkString("\n          UNION ALL ")
     val ratio = graft.operators.Ivf.EntryStructureRatio
+    val margin = graft.operators.Ivf.EntryRatioMargin
     s"""${p}ev AS (SELECT vec_id, v FROM ${bp}e
         WHERE vec_id % (SELECT GREATEST(1, n // (128 * k)) FROM ${bp}prm, ${bp}kk) = 0),
       ${p}en AS (SELECT COUNT(*) AS en FROM ${p}ev),
+      ${p}thr AS (SELECT LEAST(CAST($ratio AS DOUBLE),
+          floor((pow(2.0, -2.0 / len(v)) - CAST($margin AS DOUBLE)) * 10000.0) / 10000.0) AS thr
+        FROM ${bp}e LIMIT 1),
       $chains,
       $dRows,
       ${p}lv AS (SELECT cells, md FROM (
-          SELECT * FROM ${p}d0 UNION ALL SELECT * FROM ${p}d1
-          UNION ALL SELECT * FROM ${p}d2 UNION ALL SELECT * FROM ${p}d3
-          UNION ALL SELECT * FROM ${p}d4 UNION ALL SELECT * FROM ${p}d5), ${bp}prm, ${bp}kk
-        WHERE cells <= 32 * k AND cells <= 65536 AND cells < n),
+          $dUnion), ${bp}prm, ${bp}kk
+        WHERE cells <= $maxMult * k AND cells <= $maxCells AND cells < n),
       ${p}stp AS (SELECT cells, md, LAG(md) OVER (ORDER BY cells) AS pmd FROM ${p}lv),
       ${p}aq AS (SELECT COALESCE(
-          MAX(CASE WHEN pmd IS NOT NULL AND md < pmd * CAST($ratio AS DOUBLE) THEN cells END),
+          MAX(CASE WHEN pmd IS NOT NULL AND md < pmd * (SELECT thr FROM ${p}thr) THEN cells END),
           (SELECT k FROM ${bp}kk)) AS aq FROM ${p}stp),
       ${p}ecal AS ($ecal),
       ${p}ecen AS (SELECT cid, cv FROM ${p}ecal WHERE cells = (SELECT aq FROM ${p}aq))"""

@@ -31,7 +31,7 @@ class EntryBranchSpec extends AnyFunSuite with SharedSpark {
     val n = base.count()
     val c0 = Ivf.cellsFor(n)
     val lad = Ivf.entryLadder(base, n)
-    val resolved = if (lad.isEmpty) c0 else Ivf.entryCellsFor(lad)
+    val resolved = if (lad.isEmpty) c0 else Ivf.entryCellsFor(lad, 32)
     assert(resolved == c0,
       s"isotropic corpus must hold at base $c0; got $resolved, ladder=$lad")
     assert(lad.nonEmpty && lad.head._1 == c0)

@@ -27,7 +27,7 @@ check_scale_branch.py.
 Usage: python3 tools/check_entry_ladder.py <verifyOutDir>
        (verifyOutDir must contain oracle_sql.json from graft.Verify)
 """
-import sys, os, json, glob, struct
+import sys, os, json, glob, math, struct
 import duckdb
 
 INDEX_ROOT = "/tmp/graft_index/v3"
@@ -35,9 +35,33 @@ BRANCH_DIR = "/tmp/graft_entry_branch"
 
 
 def ladder_sql(oracle_sql, final):
-    """The WITH prefix of the routed oracle with `final` as the query."""
-    cut = oracle_sql.index("SELECT qid, rnk")
-    return oracle_sql[:cut] + final
+    """The WITH prefix of the routed oracle with `final` as the query.
+
+    Anchored at the LAST 'SELECT qid, rnk' (the oracle's terminal
+    SELECT — several beam CTEs contain 'SELECT qid, rnk, ...' too, so
+    a first-occurrence cut would truncate the WITH block mid-CTE; r11
+    ADVICE 3), and sanity-checked: the retained prefix must end with
+    a closed CTE followed by nothing but whitespace."""
+    cut = oracle_sql.rindex("SELECT qid, rnk")
+    prefix = oracle_sql[:cut]
+    assert prefix.rstrip().endswith(")"), (
+        "oracle cut no longer lands after the final CTE — "
+        "update ladder_sql's anchor")
+    return prefix + final
+
+
+def resolve_rule(ladder, dim):
+    """Python replay of Ivf.entryCellsFor + entryStructureRatioFor:
+    threshold = min(0.85, floor((2^(-2/d) - 0.03) * 1e4) / 1e4)
+    (bit-identical across JVM/libm/DuckDB for every d <= 4096 —
+    measured r12), resolve = deepest doubling under it, else base."""
+    thr = min(0.85, math.floor((math.pow(2.0, -2.0 / dim) - 0.03)
+                               * 10000.0) / 10000.0)
+    res = ladder[0][0]
+    for (pc, pm), (cc, cm) in zip(ladder, ladder[1:]):
+        if cm < pm * thr:
+            res = cc
+    return res
 
 
 def artifact_dir(corpus_dir):
@@ -64,12 +88,22 @@ def check_corpus(name, corpus_dir, sql):
     ).fetchall()
     duck_aq = con.execute(
         ladder_sql(sql, "SELECT aq FROM eqaq")).fetchone()[0]
-    anchors = glob.glob(os.path.join(adir, "routed_anchor_nodes_aq*"))
-    spark_aq = None
-    if anchors:
-        spark_aq = max(int(os.path.basename(a).split("aq")[1]) for a in anchors
-                       if os.path.basename(a).split("aq")[1].isdigit())
+    # expected depth = the rule applied to the PERSISTED ladder (r11
+    # ADVICE 2: a max() over anchor-dir tags picks up stale artifacts
+    # from runs at a different resolved depth); the current anchor
+    # artifact must carry exactly that tag when any anchor dir exists
+    dim = con.execute("SELECT len(embedding) FROM embeddings LIMIT 1"
+                      ).fetchone()[0]
+    spark_aq = resolve_rule(spark_lad, dim)
+    anchor_tags = sorted(
+        int(os.path.basename(a).split("aq")[1])
+        for a in glob.glob(os.path.join(adir, "routed_anchor_nodes_aq*"))
+        if os.path.basename(a).split("aq")[1].isdigit())
     ok = True
+    if anchor_tags and spark_aq not in anchor_tags:
+        print(f"{name:<12} FAIL no anchor artifact at the rule's depth "
+              f"{spark_aq} (dirs: {anchor_tags})")
+        ok = False
     if len(spark_lad) != len(duck_lad):
         print(f"{name:<12} FAIL ladder length spark={len(spark_lad)} "
               f"duckdb={len(duck_lad)}")
@@ -80,12 +114,12 @@ def check_corpus(name, corpus_dir, sql):
                 print(f"{name:<12} FAIL row spark=({sc},{sd!r}) "
                       f"duckdb=({dc},{dd!r})")
                 ok = False
-    if spark_aq is not None and spark_aq != duck_aq:
+    if spark_aq != duck_aq:
         print(f"{name:<12} FAIL resolved spark={spark_aq} duckdb={duck_aq}")
         ok = False
     if ok:
         tag = f"resolved={duck_aq}" + (
-            "" if spark_aq is None else f" (anchor artifact aq{spark_aq})")
+            f" (anchor artifact aq{spark_aq})" if anchor_tags else "")
         print(f"{name:<12} OK ({len(spark_lad)} ladder rows bitwise, {tag})")
     return ok
 
