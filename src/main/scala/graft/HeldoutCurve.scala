@@ -52,18 +52,24 @@ object HeldoutCurve {
     val nBase = if (args.length > 1) args(1).toLong else 1000000L
     val nTrain = if (args.length > 2) args(2).toLong else 500000L
     val nEval = if (args.length > 3) args(3).toLong else 2000L
-    // ef:rounds[:deg[:ents[:aqCells]]] — aqCells > 0 replaces the
+    // ef:rounds[:deg[:ents[:aqCells[:tl]]]] — aqCells > 0 replaces the
     // scale-quantizer anchors with a FINER entry quantizer of that
     // many cells (protocol-valid: no training-query information; the
     // closer the seed, the less navigation the beam must do);
     // aqCells = -1 auto-resolves the depth from the corpus via
-    // Ivf.entryLadder/entryCellsFor (lesson 42's pre-flight as a rule)
+    // Ivf.entryLadder/entryCellsFor (lesson 42's pre-flight as a rule).
+    // tl > 0 = TWO-LEVEL seed selection (round 12 measurement of the
+    // anchor-scan cost asymmetry): coarse-quantize the anchor bank to
+    // ~√aq cells and scan only the anchors in the query's top-tl
+    // coarse cells, instead of the full-bank linear scan — O(√aq·tl)
+    // seed evals at slightly approximate seeding. tl = 0 is the exact
+    // full-scan control (the catalog's shape).
     val confs = (if (args.length > 4) args(4)
       else "8:5,8:9,16:5,16:9,32:9,32:13")
       .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
         val p = s.split(":").map(_.trim.toInt)
         (p(0), p(1), if (p.length > 2) p(2) else 32, if (p.length > 3) p(3) else 8,
-          if (p.length > 4) p(4) else 0)
+          if (p.length > 4) p(4) else 0, if (p.length > 5) p(5) else 0)
       }
     // cluster count for the generated corpus (m6 = 8, the reference's
     // synthetic default — isotropic 64d inside each cluster; m7 = 4096
@@ -220,9 +226,27 @@ object HeldoutCurve {
       })
     }
 
+    // two-level seed-selection substrate, built once per (aq, cc):
+    // coarse k-means over the ANCHOR BANK itself (not the base), each
+    // anchor tagged with its coarse cell — query-time scans cc coarse
+    // centroids + the anchors of the top-tl cells only
+    val coarseCache = scala.collection.mutable.HashMap.empty[Int, (DataFrame, DataFrame, Int)]
+    def coarseFor(aq: Int, aB: DataFrame): (DataFrame, DataFrame, Int) =
+      coarseCache.getOrElseUpdate(aq, {
+        val aqN = aB.count().toInt
+        var cc = 16
+        while (cc.toLong * cc < aqN) cc <<= 1 // smallest power of two ≥ √aq
+        val aEmb = aB.select(col("bid").as("vec_id"), col("bv").as("embedding"))
+        val coarse = Ivf.centroids(aEmb, cc, 2).localCheckpoint()
+        val aCells = Ivf.assign(aEmb, coarse)
+          .select(col("vec_id").as("bid"), col("cid"), col("embedding").as("bv"))
+          .localCheckpoint()
+        (coarse.select(col("cid"), col("cv").cast("array<float>").as("cvf")), aCells, cc)
+      })
+
     // ---- phase 4: the sweep ----
     def run(tag: String, qs: DataFrame, gt: DataFrame,
-        ef: Int, rounds: Int, deg: Int, ents: Int, aq: Int): Unit = {
+        ef: Int, rounds: Int, deg: Int, ents: Int, aq: Int, tl: Int): Unit = {
       val richE = rich.filter(col("erk") <= deg).select(col("src"), col("dst"))
       val edges = richE.union(ck)
         .union(ck.select(col("dst").as("src"), col("src").as("dst")))
@@ -230,11 +254,27 @@ object HeldoutCurve {
       val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("src")).head().getLong(0)
       val aB = if (aq != 0) anchorsFor(aq) else anchorBase
-      val aRk = TopK.perGroup(
-        qs.crossJoin(broadcast(aB))
-          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", ents, asc = true)
-        .select(col("qid"), col("bid")).localCheckpoint()
+      val nQs = qs.count().toDouble
+      val (aRk, seedEvals) = if (tl > 0) {
+        val (coarse, aCells, cc) = coarseFor(aq, aB)
+        val qCells = TopK.perGroup(
+          qs.crossJoin(broadcast(coarse))
+            .select(col("qid"), col("cid"), Vec.l2Fast(col("qv"), col("cvf")).as("d")),
+          "qid", "cid", "d", tl, asc = true).select(col("qid"), col("cid"))
+        val cand = qCells.join(broadcast(aCells), Seq("cid")).join(qs, Seq("qid"))
+          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d"))
+          .localCheckpoint()
+        val scanned = cand.count() / nQs
+        (TopK.perGroup(cand, "qid", "bid", "d", ents, asc = true)
+          .select(col("qid"), col("bid")).localCheckpoint(), cc + scanned)
+      } else {
+        (TopK.perGroup(
+          qs.crossJoin(broadcast(aB))
+            .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
+          "qid", "bid", "d", ents, asc = true)
+          .select(col("qid"), col("bid")).localCheckpoint(),
+          aB.count().toDouble)
+      }
       val seeds = qs.select(col("qid")).withColumn("bid", lit(entry)).union(aRk)
       val t1 = System.nanoTime()
       val (res, vis) = BeamSearch.runFromSeedsCounted(edges, qs, base, seeds, ef, rounds)
@@ -242,17 +282,16 @@ object HeldoutCurve {
         .select(col("qid"), col("bid")).localCheckpoint()
       val sec = (System.nanoTime() - t1) / 1e9
       val nGt = gt.count().toDouble
-      val nQs = qs.count().toDouble
       val recall = top.join(gt, Seq("qid", "bid")).count() / nGt
       println(f"HELDOUT_CURVE $tag%s ef=$ef%d rounds=$rounds%d deg=$deg%d ents=$ents%d " +
-        f"aq=$aq%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
-        f"visited_pct=${100.0 * vis / nQs / n}%.4f sec=$sec%.1f")
+        f"aq=$aq%d tl=$tl%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
+        f"visited_pct=${100.0 * vis / nQs / n}%.4f seed_evals_per_q=$seedEvals%.1f sec=$sec%.1f")
       System.out.flush()
     }
 
-    confs.foreach { case (ef, rounds, deg, ents, aq) =>
-      run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq)
-      run("insample", qIns, gtIns, ef, rounds, deg, ents, aq)
+    confs.foreach { case (ef, rounds, deg, ents, aq, tl) =>
+      run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq, tl)
+      run("insample", qIns, gtIns, ef, rounds, deg, ents, aq, tl)
     }
     spark.stop()
   }
