@@ -230,19 +230,10 @@ object HeldoutCurve {
     // coarse k-means over the ANCHOR BANK itself (not the base), each
     // anchor tagged with its coarse cell — query-time scans cc coarse
     // centroids + the anchors of the top-tl cells only
+    // (operators.SeedSelect — the intended catalog wiring point)
     val coarseCache = scala.collection.mutable.HashMap.empty[Int, (DataFrame, DataFrame, Int)]
     def coarseFor(aq: Int, aB: DataFrame): (DataFrame, DataFrame, Int) =
-      coarseCache.getOrElseUpdate(aq, {
-        val aqN = aB.count().toInt
-        var cc = 16
-        while (cc.toLong * cc < aqN) cc <<= 1 // smallest power of two ≥ √aq
-        val aEmb = aB.select(col("bid").as("vec_id"), col("bv").as("embedding"))
-        val coarse = Ivf.centroids(aEmb, cc, 2).localCheckpoint()
-        val aCells = Ivf.assign(aEmb, coarse)
-          .select(col("vec_id").as("bid"), col("cid"), col("embedding").as("bv"))
-          .localCheckpoint()
-        (coarse.select(col("cid"), col("cv").cast("array<float>").as("cvf")), aCells, cc)
-      })
+      coarseCache.getOrElseUpdate(aq, graft.operators.SeedSelect.coarseBank(aB))
 
     // ---- phase 4: the sweep ----
     def run(tag: String, qs: DataFrame, gt: DataFrame,
@@ -255,24 +246,14 @@ object HeldoutCurve {
         .orderBy(col("d").desc, col("src")).head().getLong(0)
       val aB = if (aq != 0) anchorsFor(aq) else anchorBase
       val nQs = qs.count().toDouble
+      val ss = graft.operators.SeedSelect
       val (aRk, seedEvals) = if (tl > 0) {
         val (coarse, aCells, cc) = coarseFor(aq, aB)
-        val qCells = TopK.perGroup(
-          qs.crossJoin(broadcast(coarse))
-            .select(col("qid"), col("cid"), Vec.l2Fast(col("qv"), col("cvf")).as("d")),
-          "qid", "cid", "d", tl, asc = true).select(col("qid"), col("cid"))
-        val cand = qCells.join(broadcast(aCells), Seq("cid")).join(qs, Seq("qid"))
-          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d"))
-          .localCheckpoint()
+        val cand = ss.twoLevelScored(qs, coarse, aCells, tl).localCheckpoint()
         val scanned = cand.count() / nQs
-        (TopK.perGroup(cand, "qid", "bid", "d", ents, asc = true)
-          .select(col("qid"), col("bid")).localCheckpoint(), cc + scanned)
+        (ss.pick(cand, ents).localCheckpoint(), cc + scanned)
       } else {
-        (TopK.perGroup(
-          qs.crossJoin(broadcast(aB))
-            .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
-          "qid", "bid", "d", ents, asc = true)
-          .select(col("qid"), col("bid")).localCheckpoint(),
+        (ss.pick(ss.exactScored(qs, aB), ents).localCheckpoint(),
           aB.count().toDouble)
       }
       val seeds = qs.select(col("qid")).withColumn("bid", lit(entry)).union(aRk)
