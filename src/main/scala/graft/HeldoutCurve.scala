@@ -230,10 +230,21 @@ object HeldoutCurve {
     // coarse k-means over the ANCHOR BANK itself (not the base), each
     // anchor tagged with its coarse cell — query-time scans cc coarse
     // centroids + the anchors of the top-tl cells only
-    // (operators.SeedSelect — the intended catalog wiring point)
-    val coarseCache = scala.collection.mutable.HashMap.empty[Int, (DataFrame, DataFrame, Int)]
-    def coarseFor(aq: Int, aB: DataFrame): (DataFrame, DataFrame, Int) =
-      coarseCache.getOrElseUpdate(aq, graft.operators.SeedSelect.coarseBank(aB))
+    // (operators.SeedSelect — wired into the catalog in round 13;
+    // this conf field remains the sweep knob over the same code).
+    // The cache key is the RESOLVED depth like entryAnchors' (a sweep
+    // mixing aq=-1 with its resolved value must not build the same
+    // coarse k-means twice — ADVICE r12 3); the fourth element is the
+    // REALIZED centroid count (k-means emits fewer than cc on banks
+    // smaller than cc — ADVICE r12 4), which seed_evals reports.
+    val coarseCache = scala.collection.mutable.HashMap.empty[Int, (DataFrame, DataFrame, Int, Long)]
+    def coarseFor(aq0: Int, aB: DataFrame): (DataFrame, DataFrame, Int, Long) = {
+      val aq = if (aq0 == -1) autoAq else aq0
+      coarseCache.getOrElseUpdate(aq, {
+        val (coarse, aCells, cc) = graft.operators.SeedSelect.coarseBank(aB)
+        (coarse, aCells, cc, coarse.count())
+      })
+    }
 
     // ---- phase 4: the sweep ----
     def run(tag: String, qs: DataFrame, gt: DataFrame,
@@ -248,10 +259,10 @@ object HeldoutCurve {
       val nQs = qs.count().toDouble
       val ss = graft.operators.SeedSelect
       val (aRk, seedEvals) = if (tl > 0) {
-        val (coarse, aCells, cc) = coarseFor(aq, aB)
+        val (coarse, aCells, _, ccReal) = coarseFor(aq, aB)
         val cand = ss.twoLevelScored(qs, coarse, aCells, tl).localCheckpoint()
         val scanned = cand.count() / nQs
-        (ss.pick(cand, ents).localCheckpoint(), cc + scanned)
+        (ss.pick(cand, ents).localCheckpoint(), ccReal + scanned)
       } else {
         (ss.pick(ss.exactScored(qs, aB), ents).localCheckpoint(),
           aB.count().toDouble)

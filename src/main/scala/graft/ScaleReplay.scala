@@ -43,11 +43,15 @@ object ScaleReplay {
         .select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
 
     val measured = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val (routed, visited) =
+    val (routed, visited, seedEvals) =
       queries.HnswQs3.routedSearchCounted(spark, dir, "l2")
     measured += "routed_hits" ->
       routed.select(col("qid"), col("bid")).join(gt, Seq("qid", "bid")).count()
     measured += "routed_visited" -> visited
+    // round 13: seed selection is two-level (SeedSelect) — its total
+    // distance evals join the fixture so a seeding regression (depth,
+    // coarse width, tl rule) is caught at scale, not just at test SF
+    measured += "routed_seed_evals" -> seedEvals
     measured += "ivf_hits" -> hits("ivf_search")
     measured += "pq_hits" -> hits("pq_search")
     measured += "dedup_pairs" -> Catalog.queriesMap("dedup_embedding")(spark, dir).count()

@@ -313,10 +313,19 @@ object HnswQs {
       // via one rank histogram
       val cntByRnk = cand.groupBy(col("cell_rnk")).count().collect()
         .map(r => r.getAs[Int]("cell_rnk") -> r.getAs[Long]("count")).toMap
+      // seed_evals (round 13 — plan-audit rule: count distance evals,
+      // not just beam visited): per-query evals spent SELECTING the
+      // entry set before any candidate/beam scoring — the centroid
+      // scan for the ivf families, the anchor-bank scan for entry-
+      // seeded graph families, the coarse+candidate scans for the
+      // routed row (read from its counted artifact). The round-12
+      // audit measured this invisible term at 84% of routed query
+      // cost; now it's a sweep column instead of a harness log line.
+      val nCents = cents.count().toDouble
       val ivfRows = nps.map { np =>
         val visited = (1 to np).map(r => cntByRnk.getOrElse(r, 0L)).sum / nQ
         ("ivf", np, hitsByNp.getOrElse(np, 0L) / nGt, visited, 0, ivfWallMs,
-          nQ / (ivfWallMs / 1000.0), nps.size, 0)
+          nQ / (ivfWallMs / 1000.0), nps.size, 0, nCents)
       }
       // adaptive point (ivf_search_adaptive's rule over the same scored
       // candidates): param = α×100
@@ -334,7 +343,7 @@ object HnswQs {
         val hits = top.join(gt, Seq("qid", "bid")).count()
         val visited = probedCand.count() / nQ
         ("adaptive", (alpha * 100).round.toInt, hits / nGt, visited, 0, wallMs,
-          nQ / (wallMs / 1000.0), 1, 0)
+          nQ / (wallMs / 1000.0), 1, 0, nCents)
       }
       val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
           VectorQs2.roarProjectionGraph.fn(s, dir)
@@ -354,7 +363,7 @@ object HnswQs {
         val wallMs = nanos / 1e6
         val hits = top.join(gt, Seq("qid", "bid")).count()
         ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs,
-          nQ / (wallMs / 1000.0), 1, 0)
+          nQ / (wallMs / 1000.0), 1, 0, 0.0)
       }
       // entry-point-count sweep (plot_entry_points_comparison.py /
       // hnsw_with_bridges_optimized.py:137-274): same graph, ef and
@@ -364,11 +373,17 @@ object HnswQs {
       // n=1 IS the single-entry baseline and the delta isolates what
       // additional entries buy at equal beam budget
       val (cents8, _) = anchorIvf(s, dir)
+      // entry_cells/seed_evals for the multi/wide families read from
+      // the LOADED anchor quantizer (realized cell count / distinct
+      // anchor-node bank), not a literal 8 — a quantizer size change
+      // can no longer serve a stale sweep label (ADVICE r12 2)
+      val anchorCells = cents8.count().toInt
       val anchorNodes = BruteForce.topk(
         baseBv,
         cents8.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
         "l2", 1)
-        .select(col("bid")).distinct()
+        .select(col("bid")).distinct().localCheckpoint()
+      val anchorBankN = anchorNodes.count().toDouble
       val anchorRanked = TopK.perGroup(
         q2.crossJoin(broadcast(anchorNodes.join(baseBv, Seq("bid"))))
           .select(col("qid"), col("bid"), graft.functions.Vec.l2Fast(col("qv"), col("bv")).as("d")),
@@ -414,8 +429,10 @@ object HnswQs {
         .groupBy(col("tag")).count().collect()
         .map(r => r.getAs[Int]("tag") -> r.getAs[Long]("count")).toMap
       val multiRows = multiNs.map { n =>
+        // the n = 1 point seeds from the hub alone — no anchor scan
         ("multi", n, hitsMulti.getOrElse(n, 0L) / nGt, visMulti.getOrElse(n, 0L) / nQ,
-          3, multiWallMs, nQ / (multiWallMs / 1000.0), multiNs.size, 8)
+          3, multiWallMs, nQ / (multiWallMs / 1000.0), multiNs.size, anchorCells,
+          if (n == 1) 0.0 else anchorBankN)
       }
       // high-recall operating point (the reference operates graph search
       // at recall 0.69-0.99, README_RoarGraph.md:56-112): rich graph at
@@ -454,7 +471,7 @@ object HnswQs {
       val wideRows = wideEfs.map { wideEf =>
         ("wide", wideEf, hitsWide.getOrElse(wideEf, 0L) / nGt,
           visWide.getOrElse(wideEf, 0L) / nQ, 5, wideWallMs,
-          nQ / (wideWallMs / 1000.0), wideEfs.size, 8)
+          nQ / (wideWallMs / 1000.0), wideEfs.size, anchorCells, anchorBankN)
       }
       // routed operating point on the reference's HEADLINE metric —
       // inner product after normalization (README_RoarGraph.md:45-47):
@@ -479,18 +496,20 @@ object HnswQs {
       val routedRows = Seq("ip").map { m =>
         val (routedEf, routedRounds, _) = HnswQs3.routedKnobsFor(s, dir)
         val art = HnswQs3.routedCountedArtifact(s, dir, m).localCheckpoint()
-        val meta = art.select(col("visited_total"), col("build_wall_ms")).head()
+        val meta = art.select(col("visited_total"), col("build_wall_ms"),
+          col("seed_evals_total")).head()
         val visitedTotal = meta.getLong(0)
         val wallMs = meta.getDouble(1)
+        val seedEvalsTotal = meta.getLong(2)
         val hits = art.select(col("qid"), col("bid"))
           .join(gtIp, Seq("qid", "bid")).count()
         (s"routed_$m", routedEf, hits / nGtIp, visitedTotal / nQ,
           routedRounds, wallMs, nQ / (wallMs / 1000.0), 1,
-          HnswQs3.resolvedEntryCells(s, dir))
+          HnswQs3.resolvedEntryCells(s, dir), seedEvalsTotal / nQ)
       }
       (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
         .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms",
-          "qps", "batch_n", "entry_cells")
+          "qps", "batch_n", "entry_cells", "seed_evals")
         .orderBy(col("method"), col("param"))
     },
     None)
@@ -741,6 +760,78 @@ object HnswQs {
     * budget in practice. */
   private[graft] val RichOccPool = 96
 
+  /** One training list's selected member edges — the per-list local
+    * kernel of the rich-graph build (round 11, lesson 38), fed rnk-
+    * ordered (ids, vectors) arrays by the sort-run gather. Distances
+    * are the same float-widened left folds Vec.metricDist emits
+    * (VecL2Sq→sqrt / VecCosine / VecDot); selection is per-member
+    * top-M under the strict (Double.compare(d), dst) order; pair
+    * (i, j) emits both directions ONCE even when both members select
+    * each other (d is symmetric, so the downstream min(w) dedupe
+    * collapsed those rows to the same value anyway). */
+  private def listMemberEdges(ids: Array[Long], vs: Array[Array[Float]],
+      isL2: Boolean, isCos: Boolean, mSel: Int): Iterator[(Long, Long, Double)] = {
+    val k = ids.length
+    // symmetric distance matrix
+    val dm = new Array[Double](k * k)
+    var i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val a = vs(i); val b = vs(j)
+        val n = math.min(a.length, b.length)
+        var e = 0
+        val d =
+          if (isL2) {
+            var s = 0.0
+            while (e < n) { val df = a(e).toDouble - b(e).toDouble; s += df * df; e += 1 }
+            math.sqrt(s)
+          } else if (isCos) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            while (e < n) {
+              val x = a(e).toDouble; val y = b(e).toDouble
+              dot += x * y; na += x * x; nb += y * y; e += 1
+            }
+            -(dot / math.sqrt(na * nb))
+          } else {
+            var dot = 0.0
+            while (e < n) { dot += a(e).toDouble * b(e).toDouble; e += 1 }
+            -dot
+          }
+        dm(i * k + j) = d; dm(j * k + i) = d
+        j += 1
+      }
+      i += 1
+    }
+    val seen = new java.util.HashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val cand = new Array[Int](math.max(0, k - 1))
+    i = 0
+    while (i < k) {
+      var c = 0; var j = 0
+      while (j < k) { if (j != i) { cand(c) = j; c += 1 }; j += 1 }
+      val cs = cand.take(c).sortWith { (x, y) =>
+        val cmp = java.lang.Double.compare(dm(i * k + x), dm(i * k + y))
+        if (cmp != 0) cmp < 0 else ids(x) < ids(y)
+      }
+      val lim = math.min(mSel, cs.length)
+      var r = 0
+      while (r < lim) {
+        val j2 = cs(r)
+        val lo = math.min(i, j2); val hi = math.max(i, j2)
+        val pk = lo.toLong * k + hi
+        if (seen.add(pk)) {
+          val d = dm(i * k + j2)
+          out += ((ids(i), ids(j2), d))
+          out += ((ids(j2), ids(i), d))
+        }
+        r += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   private[graft] def richGraphFrom(base: DataFrame, queries: DataFrame,
       metric: String, kk: Int, listsOpt: Option[DataFrame] = None): DataFrame = {
       val spark = base.sparkSession
@@ -770,89 +861,50 @@ object HnswQs {
       val isL2 = metric == "l2"; val isCos = metric == "cosine"
       require(isL2 || isCos || metric == "ip", s"unknown metric $metric")
       val mSel = RichM
+      // member gather as a SORT-RUN kernel, not collect_list (round
+      // 13 — the m9 build's disk failure): the aggregation map
+      // buffered every (member, vector) row of its in-flight lists —
+      // at 2M×1M×k96/64d that is ~29 GB of agg state whose
+      // sort-based spill lands ON TOP of the same-sized shuffle and
+      // filled the sandbox disk (the lesson-30 ledger again: spill
+      // tracks row volume, and vector-carrying rows are ~300 B each).
+      // One hash repartition by qid + an in-partition (qid, rnk) sort
+      // delivers each list as a contiguous run — the dense occlusion
+      // branch below has used this exact shape since round 11 — so
+      // tasks stream the runs holding ONE list's k vectors and the
+      // per-list kernel (k² matrix, strict (d, dst) top-M, direction
+      // dedupe) is unchanged: output bit-identical to the collect
+      // form (RichKernelSpec pins it against the joins oracle).
       val und = mem
-        .groupBy(col("qid"))
-        .agg(collect_list(struct(col("rnk"), col("bid"), col("bv"))).as("ms"))
-        .select(col("ms"))
-        .flatMap { gr =>
-          val rows = gr.getSeq[org.apache.spark.sql.Row](0)
-          val k = rows.length
-          val ord = rows.sortBy(_.getInt(0))
-          val ids = new Array[Long](k)
-          val vs = new Array[Array[Float]](k)
-          var i = 0
-          while (i < k) {
-            ids(i) = ord(i).getLong(1)
-            vs(i) = {
-              val s = ord(i).getSeq[Float](2)
-              val a = new Array[Float](s.length)
-              var j = 0; while (j < s.length) { a(j) = s(j); j += 1 }; a
-            }
-            i += 1
-          }
-          // symmetric distance matrix, each entry the same left fold
-          // Vec.metricDist emits (VecL2Sq→sqrt / VecCosine / VecDot)
-          val dm = new Array[Double](k * k)
-          i = 0
-          while (i < k) {
-            var j = i + 1
-            while (j < k) {
-              val a = vs(i); val b = vs(j)
-              val n = math.min(a.length, b.length)
-              var e = 0
-              val d =
-                if (isL2) {
-                  var s = 0.0
-                  while (e < n) { val df = a(e).toDouble - b(e).toDouble; s += df * df; e += 1 }
-                  math.sqrt(s)
-                } else if (isCos) {
-                  var dot = 0.0; var na = 0.0; var nb = 0.0
-                  while (e < n) {
-                    val x = a(e).toDouble; val y = b(e).toDouble
-                    dot += x * y; na += x * x; nb += y * y; e += 1
-                  }
-                  -(dot / math.sqrt(na * nb))
-                } else {
-                  var dot = 0.0
-                  while (e < n) { dot += a(e).toDouble * b(e).toDouble; e += 1 }
-                  -dot
-                }
-              dm(i * k + j) = d; dm(j * k + i) = d
-              j += 1
-            }
-            i += 1
-          }
-          // per-member top-M by (d, dst-id), then within-list direction
-          // dedupe: pair (i,j) emits (ids(i),ids(j),d) and the mirror
-          // ONCE even when both members select each other
-          val seen = new java.util.HashSet[Long]()
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          val cand = new Array[Int](math.max(0, k - 1))
-          i = 0
-          while (i < k) {
-            var c = 0; var j = 0
-            while (j < k) { if (j != i) { cand(c) = j; c += 1 }; j += 1 }
-            val cs = cand.take(c).sortWith { (x, y) =>
-              val cmp = java.lang.Double.compare(dm(i * k + x), dm(i * k + y))
-              if (cmp != 0) cmp < 0 else ids(x) < ids(y)
-            }
-            val lim = math.min(mSel, cs.length)
-            var r = 0
-            while (r < lim) {
-              val j2 = cs(r)
-              val lo = math.min(i, j2); val hi = math.max(i, j2)
-              val pk = lo.toLong * k + hi
-              if (seen.add(pk)) {
-                val d = dm(i * k + j2)
-                out += ((ids(i), ids(j2), d))
-                out += ((ids(j2), ids(i), d))
+        .repartition(col("qid"))
+        .sortWithinPartitions(col("qid"), col("rnk"))
+        .select(col("qid"), col("bid"), col("bv"))
+        .as[(Long, Long, Array[Float])]
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[(Long, Long, Double)] {
+            private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+            private def emitRun(): Unit = {
+              if (!buf.hasNext) return
+              val q = buf.head._1
+              val idb = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val vb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+              while (buf.hasNext && buf.head._1 == q) {
+                val row = buf.next()
+                idb += row._2
+                vb += row._3
               }
-              r += 1
+              out = listMemberEdges(idb.toArray, vb.toArray, isL2, isCos, mSel)
             }
-            i += 1
+            override def hasNext: Boolean = {
+              while (!out.hasNext && buf.hasNext) emitRun()
+              out.hasNext
+            }
+            override def next(): (Long, Long, Double) = {
+              if (!hasNext) throw new NoSuchElementException
+              out.next()
+            }
           }
-          seen.clear()
-          out.iterator
         }.toDF("src", "dst", "d")
       // d is symmetric and bit-identical in both directions/queries, so
       // min(d) is a pure dedupe (one groupBy beats a window here)

@@ -345,6 +345,47 @@ object HnswQs3 {
     }
   }
 
+  /** Two-level seed selection over the resolved anchor bank (round
+    * 13 — the round-12 cost-model fix wired into the catalog). The
+    * exact full-bank scan this replaces was 84% of routed query-time
+    * distance evals at resolved depths (~6.5k anchors at aq = 8,192);
+    * the coarse level cuts seed evals to O(√bank·tl) at held-out
+    * recall equal to four decimals on three corpora (docs/
+    * scale_run.md "Two-level seeding MEASURED"). The reference
+    * amortizes the same cost through its layer hierarchy
+    * (hnsw_cosine_status_high.py's upper-layer greedy descent visits
+    * O(log N) nodes before layer 0) — this is that hierarchy's
+    * two-stage broadcast-join analog.
+    *
+    * Returns (coarse float centroids (cid, cvf), anchor→cell rows
+    * (bid, cid, bv), cc, tl). The coarse k-means over the bank is a
+    * build-once/load-many artifact tagged with the resolved entry
+    * depth (`seed_cents_aq$aq` — the bank is a pure function of aq,
+    * so the tag staleness-guards it); the anchor→cell assignment is
+    * a map-only rederivation over the k-sized bank at load. At every
+    * test SF the bank is ≤ 256 anchors → cc = 16 = tl: the two-level
+    * pick sits on its BITWISE-exact endpoint (SeedSelectSpec), so
+    * sf0.001/0.01 oracle hashes are unchanged by the wiring; sf0.1
+    * (aq = 512, cc = 32) and every scale corpus run the approximate
+    * branch (cross-engine replay: SeedWireSpec +
+    * tools/check_seed_branch.py). */
+  private[graft] def seedLevels(s: SparkSession, dir: String,
+      base: DataFrame, metric: String = "l2"): (DataFrame, DataFrame, Int, Int) = {
+    val ss = graft.operators.SeedSelect
+    val bank = routedAnchors(s, dir, metric).join(base, Seq("bid"))
+      .select(col("bid").as("vec_id"), col("bv").as("embedding"))
+      .localCheckpoint()
+    val cc = ss.coarseCellsFor(bank.count())
+    val aq = resolvedEntryCells(s, dir)
+    val cents = graft.operators.ProjIndex.ensureTable(s, dir, s"seed_cents_aq$aq") {
+      graft.operators.Ivf.centroids(bank, cc, 2)
+    }
+    val aCells = graft.operators.Ivf.assign(bank, cents)
+      .select(col("vec_id").as("bid"), col("cid"), col("embedding").as("bv"))
+    (cents.select(col("cid"), col("cv").cast("array<float>").as("cvf")),
+      aCells, cc, ss.tlFor(cc))
+  }
+
   /** Cell-local base kNN — the universal connectivity substrate the
     * round-10 held-out probe showed the projection graph lacks. A
     * bipartite projection graph's members are exactly the training
@@ -642,7 +683,7 @@ object HnswQs3 {
     * Vec.metricDist — negated similarity for cosine/ip). Counted
     * variant feeds the sweep's visited column. */
   private[graft] def routedSearchCounted(s: SparkSession, dir: String,
-      metric: String): (DataFrame, Long) = {
+      metric: String): (DataFrame, Long, Long) = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val edges = routedEdges(s, dir, metric).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
@@ -652,18 +693,22 @@ object HnswQs3 {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
-    val anchors = routedAnchors(s, dir, metric)
+    val ss = graft.operators.SeedSelect
+    val (coarse, aCells, _, tl) = seedLevels(s, dir, base, metric)
+    val cand = ss.twoLevelScored(queries, coarse, aCells, tl, metric)
+      .localCheckpoint()
     val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-      .union(graft.operators.TopK.perGroup(
-        queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
-          .select(col("qid"), col("bid"),
-            Vec.metricDist(metric)(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", ents, asc = true)
-        .select(col("qid"), col("bid")))
+      .union(ss.pick(cand, ents))
       .distinct()
+    // total seed-selection distance evals: every query scans the
+    // REALIZED coarse centroids (≤ cc — ADVICE r12 4) plus its top-tl
+    // cells' anchors; this is the 84%-of-query-cost term the sweep's
+    // seed_evals column makes visible (plan-audit rule: count distance
+    // evals, not just beam visited)
+    val seedEvals = queries.count() * coarse.count() + cand.count()
     val (res, visited) = BeamSearch.runFromSeedsCounted(
       edges, queries, base, seeds, ef, rounds, metric)
-    (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited)
+    (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited, seedEvals)
   }
 
   /** Persisted (result rows + visited_total + build_wall_ms) of the
@@ -681,19 +726,24 @@ object HnswQs3 {
       metric: String): DataFrame = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val aq = resolvedEntryCells(s, dir)
+    val ss = graft.operators.SeedSelect
+    val tl = ss.tlFor(ss.coarseCellsFor(routedAnchors(s, dir, metric).count()))
     // _u$CellK: the edge set gained the cell-kNN union in round 10;
-    // _aq: the resolved entry depth joined the key in round 11 — the
-    // tag must change with the build semantics or a pre-union /
-    // pre-resolver artifact would alias the new search
+    // _aq: the resolved entry depth joined the key in round 11;
+    // _tl: the two-level seed width joined in round 13 (the seeding
+    // changed from the exact bank scan) — the tag must change with
+    // the build semantics or a pre-union / pre-resolver / pre-seeding
+    // artifact would alias the new search
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u${CellK}_aq$aq") {
+      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u${CellK}_aq${aq}_tl$tl") {
       val t0 = System.nanoTime()
-      val (res, visited) = routedSearchCounted(s, dir, metric)
+      val (res, visited, seedEvals) = routedSearchCounted(s, dir, metric)
       val rows = res.localCheckpoint()
       rows.count() // force the search so wall_ms covers execution
       val wallMs = (System.nanoTime() - t0) / 1e6
       rows.withColumn("visited_total", lit(visited))
         .withColumn("build_wall_ms", lit(wallMs))
+        .withColumn("seed_evals_total", lit(seedEvals))
     }
   }
 
@@ -707,14 +757,11 @@ object HnswQs3 {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
-    val anchors = routedAnchors(s, dir, metric)
+    val ss = graft.operators.SeedSelect
+    val (coarse, aCells, _, tl) = seedLevels(s, dir, base, metric)
     val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-      .union(graft.operators.TopK.perGroup(
-        queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
-          .select(col("qid"), col("bid"),
-            Vec.metricDist(metric)(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", ents, asc = true)
-        .select(col("qid"), col("bid")))
+      .union(ss.pick(
+        ss.twoLevelScored(queries, coarse, aCells, tl, metric), ents))
       .distinct()
     BeamSearch.runFromSeeds(edges, queries, base, seeds, ef, rounds, metric)
       .filter(col("rnk") <= 10)
@@ -755,11 +802,7 @@ object HnswQs3 {
                         ROW_NUMBER() OVER (PARTITION BY c.cid
                           ORDER BY sqrt(${Vec.sqlL2sq("c.cvf", "b.v")}), b.bid) AS rn
                  FROM cfq c CROSS JOIN bb b) WHERE rn = 1),
-      sd3 AS (SELECT qid, bid FROM (
-                SELECT q.qid, a.bid,
-                       ROW_NUMBER() OVER (PARTITION BY q.qid
-                         ORDER BY ${Vec.sqlMetricDist(metric, "q.qv", "b.v")}, a.bid) AS rn
-                FROM qq q CROSS JOIN anch a JOIN bb b ON b.bid = a.bid) WHERE rn <= (SELECT ents FROM rknobs)),
+      ${SqlIvf.seedCtes(metric)},
       seeds AS (SELECT DISTINCT qid, bid FROM (
                   SELECT qid, ebid AS bid FROM qq CROSS JOIN hub
                   UNION ALL SELECT qid, bid FROM sd3)),

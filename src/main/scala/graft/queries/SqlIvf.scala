@@ -158,6 +158,13 @@ object SqlIvf {
   def entryCtes(bp: String, iters: Int, p: String): String = {
     val maxMult = graft.operators.Ivf.EntryMaxMult
     val maxCells = graft.operators.Ivf.MaxCells
+    // the static unroll below derives its depth count from log2 of
+    // EntryMaxMult, which is only the ladder's step count when the
+    // constant is a power of two — a non-pow2 value (e.g. 48) would
+    // silently drop steps the Scala takeWhile still includes (r12
+    // ADVICE 1): fail loudly at oracle-generation time instead
+    require(Integer.bitCount(maxMult) == 1,
+      s"Ivf.EntryMaxMult must be a power of two for the oracle unroll, got $maxMult")
     val nDepths = Integer.numberOfTrailingZeros(maxMult) // 2^nDepths = maxMult
     val depths = 1 to nDepths
     val chains = depths.map(j => ladderChain(bp, s"$p$j", 1 << j, iters))
@@ -198,5 +205,69 @@ object SqlIvf {
           (SELECT k FROM ${bp}kk)) AS aq FROM ${p}stp),
       ${p}ecal AS ($ecal),
       ${p}ecen AS (SELECT cid, cv FROM ${p}ecal WHERE cells = (SELECT aq FROM ${p}aq))"""
+  }
+
+  /** DuckDB mirror of the TWO-LEVEL seed selection
+    * (operators.SeedSelect, wired round 13): k-means the anchor bank
+    * itself into cc = smallest power of two ≥ √|bank| (floor 16)
+    * coarse cells — same init (lowest bids ranked), Lloyd count and
+    * quantized-exact means as every other quantizer mirror — then
+    * each query probes its top-`tl` coarse cells (L2 against the
+    * REAL[]-cast centroids, ties by cid: the quantizer's geometry,
+    * metric-independent like the cell→member map) and ranks only
+    * those cells' anchors in the query metric. tl = GREATEST(16,
+    * cc // 8) mirrors SeedSelect.tlFor. cc/tl are DATA-computed, so
+    * the one static text serves the exact endpoint (tl ≥ cc — every
+    * test SF) and the approximate branch (sf0.1, scale corpora,
+    * SeedWireSpec's planted corpus) alike.
+    *
+    * Requires `anch` (bid), `bb` (bid, v), `qq` (qid, qv) and
+    * `rknobs` (ents) in scope; emits `sd3` (qid, bid) — the seed set
+    * the routed beam unions with the hub. */
+  def seedCtes(metric: String, iters: Int = 2): String = {
+    // the bank is ≤ Ivf.MaxCells anchors by construction, so cc never
+    // exceeds the first power of two whose square reaches MaxCells
+    val powers = Iterator.iterate(16)(_ * 2)
+      .takeWhile(p => p.toLong * p <= graft.operators.Ivf.MaxCells).toSeq
+    val init =
+      s"""slb AS (SELECT a.bid AS vec_id, b.v FROM anch a JOIN bb b ON b.bid = a.bid),
+      sln AS (SELECT COUNT(*) AS bn FROM slb),
+      slcc AS (SELECT COALESCE(
+          (SELECT MIN(pw) FROM (SELECT UNNEST(${powers.map(_.toString + "::BIGINT").mkString("[", ", ", "]")}) AS pw), sln
+           WHERE pw * pw >= bn), ${powers.last}) AS cc FROM sln),
+      sltl AS (SELECT GREATEST(16, cc // 8) AS tl FROM slcc),
+      slc0 AS (SELECT CAST(rn0 - 1 AS BIGINT) AS cid, v AS cv
+        FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM slb)
+        WHERE rn0 <= (SELECT cc FROM slcc))"""
+    val rounds = (1 to iters).map { t =>
+      s"""sla$t AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
+        FROM slb e CROSS JOIN slc${t - 1} c) WHERE rn = 1),
+      slx$t AS (SELECT cid, u.i AS dim, CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS xq
+        FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1), i -> {'i': i, 'x': v[i]})) AS u
+              FROM sla$t)),
+      slc$t AS (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+        FROM (SELECT cid, dim, SUM(xq) AS s, COUNT(*) AS n FROM slx$t GROUP BY cid, dim)
+        GROUP BY cid)"""
+    }.mkString(",\n      ")
+    s"""$init,
+      $rounds,
+      slasn AS (SELECT vec_id AS bid, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
+        FROM slb e CROSS JOIN slc$iters c) WHERE rn = 1),
+      slcf AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM slc$iters),
+      slqc AS (SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY sqrt(${l2sq("q.qv", "c.cvf")}), c.cid) AS rn
+        FROM qq q CROSS JOIN slcf c) WHERE rn <= (SELECT tl FROM sltl)),
+      sd3 AS (SELECT qid, bid FROM (
+        SELECT s.qid, a.bid,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                 ORDER BY ${Vec.sqlMetricDist(metric, "q.qv", "b.v")}, a.bid) AS rn
+        FROM slqc s JOIN slasn a ON a.cid = s.cid
+             JOIN qq q ON q.qid = s.qid JOIN bb b ON b.bid = a.bid)
+        WHERE rn <= (SELECT ents FROM rknobs))"""
   }
 }
