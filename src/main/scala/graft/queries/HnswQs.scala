@@ -861,43 +861,55 @@ object HnswQs {
       val isL2 = metric == "l2"; val isCos = metric == "cosine"
       require(isL2 || isCos || metric == "ip", s"unknown metric $metric")
       val mSel = RichM
-      // member gather as a SORT-RUN kernel, not collect_list (round
-      // 13 — the m9 build's disk failure): the aggregation map
+      // member gather as an IN-TASK HASH GATHER, not collect_list and
+      // not a sorted shuffle (round 13 — the m9 build's disk
+      // failures, one per rejected shape): (a) the aggregation map
       // buffered every (member, vector) row of its in-flight lists —
       // at 2M×1M×k96/64d that is ~29 GB of agg state whose
-      // sort-based spill lands ON TOP of the same-sized shuffle and
-      // filled the sandbox disk (the lesson-30 ledger again: spill
-      // tracks row volume, and vector-carrying rows are ~300 B each).
-      // One hash repartition by qid + an in-partition (qid, rnk) sort
-      // delivers each list as a contiguous run — the dense occlusion
-      // branch below has used this exact shape since round 11 — so
-      // tasks stream the runs holding ONE list's k vectors and the
-      // per-list kernel (k² matrix, strict (d, dst) top-M, direction
-      // dedupe) is unchanged: output bit-identical to the collect
-      // form (RichKernelSpec pins it against the joins oracle).
+      // sort-based spill lands ON TOP of the same-sized shuffle;
+      // (b) a repartition + sortWithinPartitions run-walk drops the
+      // agg state but the external sorter spills a SECOND full copy
+      // of the vector rows while sorting each partition (measured:
+      // ~46 GB scratch at zstd before the stage completed). Vector
+      // rows must hit disk ONCE — the repartition shuffle — so tasks
+      // gather their lists in a plain in-memory hash map and sort
+      // each list's k rows by rnk in-task before the kernel. Memory
+      // is bounded by the PARTITION's bytes, and the partition count
+      // is data-derived (~64 MB of member rows each) exactly so a
+      // task's gather map stays executor-sized at any corpus scale.
+      // The per-list kernel (k² matrix, strict (d, dst) top-M,
+      // direction dedupe) is unchanged: output bit-identical to the
+      // collect form (RichKernelSpec pins it against the joins
+      // oracle; emission order differs, every consumer aggregates).
+      val dim0 = graft.operators.Ivf.dimOf(
+        base.select(col("bv").as("embedding")))
+      val memBytes = topk.count() * (32L + 4L * dim0)
+      val nPart = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        (memBytes / (64L << 20)).toInt + 1)
       val und = mem
-        .repartition(col("qid"))
-        .sortWithinPartitions(col("qid"), col("rnk"))
-        .select(col("qid"), col("bid"), col("bv"))
-        .as[(Long, Long, Array[Float])]
+        .select(col("qid"), col("rnk"), col("bid"), col("bv"))
+        .repartition(nPart, col("qid"))
+        .as[(Long, Int, Long, Array[Float])]
         .mapPartitions { it =>
-          val buf = it.buffered
+          val lists = new java.util.HashMap[Long,
+            scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Float])]]()
+          it.foreach { row =>
+            var b = lists.get(row._1)
+            if (b == null) {
+              b = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Float])]
+              lists.put(row._1, b)
+            }
+            b += ((row._2, row._3, row._4))
+          }
+          val vals = lists.values().iterator()
           new Iterator[(Long, Long, Double)] {
             private var out: Iterator[(Long, Long, Double)] = Iterator.empty
-            private def emitRun(): Unit = {
-              if (!buf.hasNext) return
-              val q = buf.head._1
-              val idb = scala.collection.mutable.ArrayBuffer.empty[Long]
-              val vb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-              while (buf.hasNext && buf.head._1 == q) {
-                val row = buf.next()
-                idb += row._2
-                vb += row._3
-              }
-              out = listMemberEdges(idb.toArray, vb.toArray, isL2, isCos, mSel)
-            }
             override def hasNext: Boolean = {
-              while (!out.hasNext && buf.hasNext) emitRun()
+              while (!out.hasNext && vals.hasNext) {
+                val ms = vals.next().sortBy(_._1)
+                out = listMemberEdges(ms.map(_._2).toArray, ms.map(_._3).toArray,
+                  isL2, isCos, mSel)
+              }
               out.hasNext
             }
             override def next(): (Long, Long, Double) = {

@@ -369,21 +369,32 @@ object HnswQs3 {
     * (aq = 512, cc = 32) and every scale corpus run the approximate
     * branch (cross-engine replay: SeedWireSpec +
     * tools/check_seed_branch.py). */
+  // session-lifetime memo of the level KNOBS only — (cc, tl) cost a
+  // bank-count action and a bench pass resolves them three times (two
+  // metrics + the counted-artifact build). The level TABLES stay lazy
+  // and recomputable on purpose: Bench clears leftover checkpoint RDD
+  // blocks between timings (lesson 34), so a memoized checkpointed
+  // DataFrame dies between queries — truncated lineage, no recompute.
+  private val seedKnobMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Int, Int)]
+
   private[graft] def seedLevels(s: SparkSession, dir: String,
       base: DataFrame, metric: String = "l2"): (DataFrame, DataFrame, Int, Int) = {
     val ss = graft.operators.SeedSelect
+    val aq = resolvedEntryCells(s, dir)
     val bank = routedAnchors(s, dir, metric).join(base, Seq("bid"))
       .select(col("bid").as("vec_id"), col("bv").as("embedding"))
-      .localCheckpoint()
-    val cc = ss.coarseCellsFor(bank.count())
-    val aq = resolvedEntryCells(s, dir)
+    val (cc, tl) = seedKnobMemo.getOrElseUpdate((dir, aq), {
+      val c = ss.coarseCellsFor(bank.count())
+      (c, ss.tlFor(c))
+    })
     val cents = graft.operators.ProjIndex.ensureTable(s, dir, s"seed_cents_aq$aq") {
-      graft.operators.Ivf.centroids(bank, cc, 2)
+      graft.operators.Ivf.centroids(bank.localCheckpoint(), cc, 2)
     }
     val aCells = graft.operators.Ivf.assign(bank, cents)
       .select(col("vec_id").as("bid"), col("cid"), col("embedding").as("bv"))
     (cents.select(col("cid"), col("cv").cast("array<float>").as("cvf")),
-      aCells, cc, ss.tlFor(cc))
+      aCells, cc, tl)
   }
 
   /** Cell-local base kNN — the universal connectivity substrate the
