@@ -33,7 +33,7 @@ import org.apache.spark.sql.DataFrame
   *
   * Usage: runMain graft.HeldoutCurve <dir> [nBase] [nTrain] [nEval]
   *   [confs] [nClusters] [dim]
-  *   confs = "ef:rounds[:deg[:ents[:aq]]],..." (default the
+  *   confs = "ef:rounds[:deg[:ents[:aq[:tl[:tu]]]]],..." (default the
   *   ef∈{8,16,32} sweep)
   * Env: SPARK_GRAFT_CPUS (default 8; SPARK_DRIVER_MEM must cover
   * nTrain-sized brute-force pools — 48g at 500k).
@@ -64,12 +64,18 @@ object HeldoutCurve {
     // coarse cells, instead of the full-bank linear scan — O(√aq·tl)
     // seed evals at slightly approximate seeding. tl = 0 is the exact
     // full-scan control (the catalog's shape).
+    // tu > 0 = train the rich graph on only the FIRST tu training
+    // queries (prefix subset of the persisted lists) — the density-law
+    // knob (m11): sweep tu at fixed corpus/eval/budget to measure
+    // held-out recall and the generalization gap vs training density.
+    // tu = 0 (default) uses all nTrain queries.
     val confs = (if (args.length > 4) args(4)
       else "8:5,8:9,16:5,16:9,32:9,32:13")
       .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
         val p = s.split(":").map(_.trim.toInt)
         (p(0), p(1), if (p.length > 2) p(2) else 32, if (p.length > 3) p(3) else 8,
-          if (p.length > 4) p(4) else 0, if (p.length > 5) p(5) else 0)
+          if (p.length > 4) p(4) else 0, if (p.length > 5) p(5) else 0,
+          if (p.length > 6) p(6) else 0)
       }
     // cluster count for the generated corpus (m6 = 8, the reference's
     // synthetic default — isotropic 64d inside each cluster; m7 = 4096
@@ -163,15 +169,31 @@ object HeldoutCurve {
     println(f"HELDOUT_CURVE train_lists_sec=$tLists%.1f")
     System.out.flush()
     // _occ: dense-gated occlusion selection (round 11) — a new tag so
-    // the pre-occlusion m6 graph can't alias the new build
-    val (rich, tRich) = time {
-      graft.operators.ProjIndex.ensureTable(spark, dir,
-        s"rich_proj_train${nTrain}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
-        queries.HnswQs.richGraphFrom(baseR, qTrain, "l2", kk, Some(lists))
-      }
+    // the pre-occlusion m6 graph can't alias the new build.
+    // Density-law mode (round 13, m11): the conf's tu field trains the
+    // graph on only the FIRST tu training queries — a prefix subset of
+    // the one persisted list build (lists are per-query independent,
+    // so a qid-prefix filter IS the smaller build), holding corpus,
+    // eval split, groundtruth, ladder and anchors fixed. One corpus +
+    // one 5e11-eval list scan thus yields the whole density →
+    // generalization-gap curve; only the rich graph rebuilds per tu.
+    val richCache = scala.collection.mutable.HashMap.empty[Long, DataFrame]
+    def richFor(tu0: Long): DataFrame = {
+      val tu = if (tu0 <= 0L || tu0 > nTrain) nTrain else tu0
+      richCache.getOrElseUpdate(tu, {
+        val (r, tRich) = time {
+          graft.operators.ProjIndex.ensureTable(spark, dir,
+            s"rich_proj_train${tu}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
+            queries.HnswQs.richGraphFrom(baseR,
+              qTrain.filter(col("qid") / 50 < tu), "l2", kk,
+              Some(lists.filter(col("qid") / 50 < tu)))
+          }
+        }
+        println(f"HELDOUT_CURVE rich_graph_sec=$tRich%.1f (|Qtrain_use|=$tu%d, k=$kk)")
+        System.out.flush()
+        r
+      })
     }
-    println(f"HELDOUT_CURVE rich_graph_sec=$tRich%.1f (|Qtrain|=$nTrain, k=$kk)")
-    System.out.flush()
     val cells = Ivf.cellsFor(n)
     val (_, tIvf) = time {
       graft.operators.ProjIndex.ensureIvf(spark, dir, "scale", cells, 2) {
@@ -248,8 +270,10 @@ object HeldoutCurve {
 
     // ---- phase 4: the sweep ----
     def run(tag: String, qs: DataFrame, gt: DataFrame,
-        ef: Int, rounds: Int, deg: Int, ents: Int, aq: Int, tl: Int): Unit = {
-      val richE = rich.filter(col("erk") <= deg).select(col("src"), col("dst"))
+        ef: Int, rounds: Int, deg: Int, ents: Int, aq: Int, tl: Int,
+        tu: Int): Unit = {
+      val richE = richFor(tu.toLong).filter(col("erk") <= deg)
+        .select(col("src"), col("dst"))
       val edges = richE.union(ck)
         .union(ck.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
@@ -275,15 +299,16 @@ object HeldoutCurve {
       val sec = (System.nanoTime() - t1) / 1e9
       val nGt = gt.count().toDouble
       val recall = top.join(gt, Seq("qid", "bid")).count() / nGt
+      val tuEff = if (tu <= 0 || tu.toLong > nTrain) nTrain else tu.toLong
       println(f"HELDOUT_CURVE $tag%s ef=$ef%d rounds=$rounds%d deg=$deg%d ents=$ents%d " +
-        f"aq=$aq%d tl=$tl%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
+        f"aq=$aq%d tl=$tl%d tu=$tuEff%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
         f"visited_pct=${100.0 * vis / nQs / n}%.4f seed_evals_per_q=$seedEvals%.1f sec=$sec%.1f")
       System.out.flush()
     }
 
-    confs.foreach { case (ef, rounds, deg, ents, aq, tl) =>
-      run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq, tl)
-      run("insample", qIns, gtIns, ef, rounds, deg, ents, aq, tl)
+    confs.foreach { case (ef, rounds, deg, ents, aq, tl, tu) =>
+      run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq, tl, tu)
+      run("insample", qIns, gtIns, ef, rounds, deg, ents, aq, tl, tu)
     }
     spark.stop()
   }
