@@ -32,7 +32,7 @@ import org.apache.spark.sql.DataFrame
   * than the sandbox disk).
   *
   * Usage: runMain graft.HeldoutCurve <dir> [nBase] [nTrain] [nEval]
-  *   [confs] [nClusters] [dim]
+  *   [confs] [nClusters] [dim] [gen] [drift]
   *   confs = "ef:rounds[:deg[:ents[:aq[:tl[:tu]]]]],..." (default the
   *   ef∈{8,16,32} sweep)
   * Env: SPARK_GRAFT_CPUS (default 8; SPARK_DRIVER_MEM must cover
@@ -153,6 +153,64 @@ object HeldoutCurve {
     println(f"HELDOUT_CURVE gt_eval_sec=$tGtE%.1f gt_ins_sec=$tGtI%.1f")
     System.out.flush()
 
+    // ---- phase 2b: drift-eval variants (m13) — the reference's
+    // setting is OUT-OF-DISTRIBUTION queries (t2i: text queries over
+    // an image base; README_RoarGraph.md's tables are all
+    // cross-modal), while qEval above draws from the training
+    // distribution. Each variant replaces the eval split with drifted
+    // queries and recomputes exact groundtruth; the graph, anchors
+    // and seed substrate stay fixed, so the rows isolate pure
+    // query-drift robustness. Variants (arg 9, comma list):
+    //   dNN  = push each eval query a fixed TOTAL norm NN/100 off its
+    //          position along a deterministic hash direction, then
+    //          re-normalize (cos(q,q') = 1/sqrt(1+sigma^2))
+    //   xgen = nEval queries from the HOSTILE generator — a different
+    //          manifold entirely; ids disjoint from the corpus
+    val driftVariants: Seq[(String, DataFrame)] = {
+      import spark.implicits._
+      (if (args.length > 8) args(8) else "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+          case "xgen" =>
+            val dfv = SynthData.clusteredHostile(spark, nEval, dim, 64, 4242L)
+              .select((col("vec_id") + lit(1000000000000L)).as("qid"),
+                col("embedding").as("qv"))
+            ("xgen", dfv.localCheckpoint())
+          case v if v.startsWith("d") && v.drop(1).forall(_.isDigit) =>
+            val sigma = v.drop(1).toInt / 100.0
+            val dfv = qEval.as[(Long, Array[Float])].map { case (qid, qv) =>
+              val dd = qv.length
+              val g = Array.tabulate(dd) { i =>
+                SynthData.gauss(SynthData.splitmix(0xD21F7L ^ qid) ^
+                  SynthData.splitmix(0xA11CEL << 32 | i.toLong))
+              }
+              var gn = 0.0
+              var i = 0
+              while (i < dd) { gn += g(i) * g(i); i += 1 }
+              val gs = sigma / math.sqrt(gn)
+              val raw = Array.tabulate(dd)(i => qv(i) + gs * g(i))
+              var n2 = 0.0
+              i = 0
+              while (i < dd) { n2 += raw(i) * raw(i); i += 1 }
+              val inv = 1.0 / math.sqrt(n2)
+              (qid, raw.map(x => (x * inv).toFloat))
+            }.toDF("qid", "qv")
+            (v, dfv.localCheckpoint())
+          case other => sys.error(s"unknown drift variant $other")
+        }
+    }
+    val driftGt: Seq[(String, DataFrame, DataFrame)] =
+      driftVariants.map { case (v, qs) =>
+        val (g, tG) = time {
+          graft.operators.ProjIndex.ensureTable(spark, dir, s"gt_l2_k10_ev_$v") {
+            BruteForce.topk(baseR, qs, "l2", 10)
+              .select(col("qid"), col("rnk"), col("bid"))
+          }.select(col("qid"), col("bid")).localCheckpoint()
+        }
+        println(f"HELDOUT_CURVE gt_drift_${v}%s_sec=$tG%.1f")
+        System.out.flush()
+        (v, qs, g)
+      }
+
     // ---- phase 3: artifacts (train-split graph + the catalog's
     // routed substrate) ----
     val n = Tables.baseCount(spark, dir)
@@ -179,6 +237,32 @@ object HeldoutCurve {
     // generalization-gap curve; only the rich graph rebuilds per tu.
     val richCache = scala.collection.mutable.HashMap.empty[Long, DataFrame]
     def richFor(tu0: Long): DataFrame = {
+      if (tu0 == -1L) return richCache.getOrElseUpdate(-1L, {
+        // tu = -1: the cross-distribution training control (m13b) —
+        // train the graph on XGEN-manifold queries (the drift
+        // variant's generator, ids disjoint from its eval split) at
+        // the density-law knee N/32. Together with a clean-trained
+        // conf at the same |Qtrain| this completes the train/eval
+        // distribution matrix: the reference's whole design premise
+        // is that the projection graph must be trained on
+        // serving-distribution queries (README_RoarGraph.md's
+        // cross-modal tables), and the law makes the matched-
+        // distribution build affordable.
+        val nX = math.max(nBase / 32L, 2000L)
+        val qX = SynthData.clusteredHostile(spark, nX + nEval, dim, 64, 4242L)
+          .filter(col("vec_id") >= nEval)
+          .select((col("vec_id") + lit(1000000000000L)).as("qid"),
+            col("embedding").as("qv"))
+        val (r, tRich) = time {
+          graft.operators.ProjIndex.ensureTable(spark, dir,
+            s"rich_proj_xgen${nX}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
+            queries.HnswQs.richGraphFrom(baseR, qX, "l2", kk)
+          }
+        }
+        println(f"HELDOUT_CURVE rich_graph_sec=$tRich%.1f (xgen-trained |Q|=$nX%d, k=$kk)")
+        System.out.flush()
+        r
+      })
       val tu = if (tu0 <= 0L || tu0 > nTrain) nTrain else tu0
       richCache.getOrElseUpdate(tu, {
         val (r, tRich) = time {
@@ -272,6 +356,11 @@ object HeldoutCurve {
     def run(tag: String, qs: DataFrame, gt: DataFrame,
         ef: Int, rounds: Int, deg: Int, ents: Int, aq: Int, tl: Int,
         tu: Int): Unit = {
+      // the insample slice is the first nEval TRAINING queries — a tu
+      // below that would silently measure partially-untrained queries
+      // under the "insample" label
+      require(tu <= 0 || tu >= nEval,
+        s"tu=$tu < nEval=$nEval would mislabel the insample row")
       val richE = richFor(tu.toLong).filter(col("erk") <= deg)
         .select(col("src"), col("dst"))
       val edges = richE.union(ck)
@@ -299,7 +388,10 @@ object HeldoutCurve {
       val sec = (System.nanoTime() - t1) / 1e9
       val nGt = gt.count().toDouble
       val recall = top.join(gt, Seq("qid", "bid")).count() / nGt
-      val tuEff = if (tu <= 0 || tu.toLong > nTrain) nTrain else tu.toLong
+      val tuEff =
+        if (tu == -1) -1L
+        else if (tu <= 0 || tu.toLong > nTrain) nTrain
+        else tu.toLong
       println(f"HELDOUT_CURVE $tag%s ef=$ef%d rounds=$rounds%d deg=$deg%d ents=$ents%d " +
         f"aq=$aq%d tl=$tl%d tu=$tuEff%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
         f"visited_pct=${100.0 * vis / nQs / n}%.4f seed_evals_per_q=$seedEvals%.1f sec=$sec%.1f")
@@ -309,6 +401,9 @@ object HeldoutCurve {
     confs.foreach { case (ef, rounds, deg, ents, aq, tl, tu) =>
       run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq, tl, tu)
       run("insample", qIns, gtIns, ef, rounds, deg, ents, aq, tl, tu)
+      driftGt.foreach { case (v, qs, g) =>
+        run(s"drift_$v", qs, g, ef, rounds, deg, ents, aq, tl, tu)
+      }
     }
     spark.stop()
   }

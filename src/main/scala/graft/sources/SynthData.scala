@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SynthData {
 
-  private def splitmix(x0: Long): Long = {
+  private[graft] def splitmix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
@@ -29,7 +29,7 @@ object SynthData {
 
   /** standard normal from two hashed uniforms (Box-Muller; u1 nudged
     * away from 0 so log stays finite). */
-  private def gauss(key: Long): Double = {
+  private[graft] def gauss(key: Long): Double = {
     val u1 = math.max(unit(splitmix(key)), 1e-12)
     val u2 = unit(splitmix(key ^ 0x5555555555555555L))
     StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
