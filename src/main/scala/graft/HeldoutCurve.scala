@@ -237,7 +237,7 @@ object HeldoutCurve {
     // generalization-gap curve; only the rich graph rebuilds per tu.
     val richCache = scala.collection.mutable.HashMap.empty[Long, DataFrame]
     def richFor(tu0: Long): DataFrame = {
-      if (tu0 == -1L) return richCache.getOrElseUpdate(-1L, {
+      if (tu0 < 0L) return richCache.getOrElseUpdate(tu0, {
         // tu = -1: the cross-distribution training control (m13b) —
         // train the graph on XGEN-manifold queries (the drift
         // variant's generator, ids disjoint from its eval split) at
@@ -248,7 +248,10 @@ object HeldoutCurve {
         // serving-distribution queries (README_RoarGraph.md's
         // cross-modal tables), and the law makes the matched-
         // distribution build affordable.
-        val nX = math.max(nBase / 32L, 2000L)
+        // tu = -1 sizes at the density-law knee; tu < -1 is an
+        // explicit xgen training-set size (-tu), for the OOD density
+        // ladder (is the matched-xgen ceiling a density artifact?)
+        val nX = if (tu0 == -1L) math.max(nBase / 32L, 2000L) else -tu0
         val qX = SynthData.clusteredHostile(spark, nX + nEval, dim, 64, 4242L)
           .filter(col("vec_id") >= nEval)
           .select((col("vec_id") + lit(1000000000000L)).as("qid"),
@@ -389,8 +392,8 @@ object HeldoutCurve {
       val nGt = gt.count().toDouble
       val recall = top.join(gt, Seq("qid", "bid")).count() / nGt
       val tuEff =
-        if (tu == -1) -1L
-        else if (tu <= 0 || tu.toLong > nTrain) nTrain
+        if (tu < 0) tu.toLong
+        else if (tu == 0 || tu.toLong > nTrain) nTrain
         else tu.toLong
       println(f"HELDOUT_CURVE $tag%s ef=$ef%d rounds=$rounds%d deg=$deg%d ents=$ents%d " +
         f"aq=$aq%d tl=$tl%d tu=$tuEff%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
