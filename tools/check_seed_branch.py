@@ -62,4 +62,10 @@ def main(out_dir, corpus="/tmp/graft_seed_branch"):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("usage: python3 tools/check_seed_branch.py <verifyOutDir> "
+              "[corpusDir (default /tmp/graft_seed_branch)]\n"
+              "run AFTER `sbt test` (writes the corpus) and a Verify dump "
+              "(provides oracle_sql.json)", file=sys.stderr)
+        sys.exit(2)
     main(sys.argv[1], *sys.argv[2:3])
