@@ -30,7 +30,7 @@ object SqlIvf {
   def ctes(where: String, k: Int, iters: Int, p: String,
       vexpr: String = "embedding::DOUBLE[]"): String = {
     val init =
-      s"""${p}e AS (SELECT vec_id, $vexpr AS v FROM embeddings WHERE $where),
+      s"""${p}e AS MATERIALIZED (SELECT vec_id, $vexpr AS v FROM embeddings WHERE $where),
       ${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
         FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k))"""
     val rounds = (1 to iters).map { t =>
@@ -41,14 +41,14 @@ object SqlIvf {
       ${p}x$t AS (SELECT cid, u.i AS dim, CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS xq
         FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1), i -> {'i': i, 'x': v[i]})) AS u
               FROM ${p}a$t)),
-      ${p}c$t AS (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+      ${p}c$t AS MATERIALIZED (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
         FROM (SELECT cid, dim, SUM(xq) AS s, COUNT(*) AS n FROM ${p}x$t GROUP BY cid, dim)
         GROUP BY cid)"""
     }.mkString(",\n      ")
     s"""$init,
       $rounds,
-      ${p}cents AS (SELECT cid, cv FROM ${p}c$iters),
-      ${p}assign AS (SELECT vec_id, cid FROM (
+      ${p}cents AS MATERIALIZED (SELECT cid, cv FROM ${p}c$iters),
+      ${p}assign AS MATERIALIZED (SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
         FROM ${p}e e CROSS JOIN ${p}cents c) WHERE rn = 1)"""
@@ -70,13 +70,13 @@ object SqlIvf {
       vexpr: String = "embedding::DOUBLE[]", kCap: Int = 65536): String = {
     val powers = Iterator.iterate(16)(_ * 2).takeWhile(_ <= kCap).toSeq
     val init =
-      s"""${p}e AS (SELECT vec_id, $vexpr AS v FROM embeddings WHERE $where),
-      ${p}prm AS (SELECT COUNT(*) AS n FROM ${p}e),
-      ${p}kk AS (SELECT COALESCE(
+      s"""${p}e AS MATERIALIZED (SELECT vec_id, $vexpr AS v FROM embeddings WHERE $where),
+      ${p}prm AS MATERIALIZED (SELECT COUNT(*) AS n FROM ${p}e),
+      ${p}kk AS MATERIALIZED (SELECT COALESCE(
           (SELECT MIN(pw) FROM (SELECT UNNEST(${powers.map(_.toString + "::BIGINT").mkString("[", ", ", "]")}) AS pw), ${p}prm
            WHERE 16 * pw * pw >= n), $kCap) AS k FROM ${p}prm),
-      ${p}st AS (SELECT GREATEST(1, n // (128 * k)) AS stride FROM ${p}prm, ${p}kk),
-      ${p}t AS (SELECT vec_id, v FROM ${p}e
+      ${p}st AS MATERIALIZED (SELECT GREATEST(1, n // (128 * k)) AS stride FROM ${p}prm, ${p}kk),
+      ${p}t AS MATERIALIZED (SELECT vec_id, v FROM ${p}e
         WHERE vec_id % (SELECT stride FROM ${p}st) = 0),
       ${p}c0 AS (SELECT CAST(rn0 - 1 AS BIGINT) AS cid, v AS cv
         FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM ${p}t)
@@ -89,14 +89,14 @@ object SqlIvf {
       ${p}x$t AS (SELECT cid, u.i AS dim, CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS xq
         FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1), i -> {'i': i, 'x': v[i]})) AS u
               FROM ${p}a$t)),
-      ${p}c$t AS (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+      ${p}c$t AS MATERIALIZED (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
         FROM (SELECT cid, dim, SUM(xq) AS s, COUNT(*) AS n FROM ${p}x$t GROUP BY cid, dim)
         GROUP BY cid)"""
     }.mkString(",\n      ")
     s"""$init,
       $rounds,
-      ${p}cents AS (SELECT cid, cv FROM ${p}c$iters),
-      ${p}assign AS (SELECT vec_id, cid FROM (
+      ${p}cents AS MATERIALIZED (SELECT cid, cv FROM ${p}c$iters),
+      ${p}assign AS MATERIALIZED (SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
         FROM ${p}e e CROSS JOIN ${p}cents c) WHERE rn = 1)"""
@@ -110,9 +110,9 @@ object SqlIvf {
     * `${p}cents`. */
   private def ladderChain(bp: String, p: String, mult: Int, iters: Int): String = {
     val init =
-      s"""${p}kk AS (SELECT k * $mult AS k FROM ${bp}kk),
-      ${p}st AS (SELECT GREATEST(1, n // (128 * k)) AS stride FROM ${bp}prm, ${p}kk),
-      ${p}t AS (SELECT vec_id, v FROM ${bp}e
+      s"""${p}kk AS MATERIALIZED (SELECT k * $mult AS k FROM ${bp}kk),
+      ${p}st AS MATERIALIZED (SELECT GREATEST(1, n // (128 * k)) AS stride FROM ${bp}prm, ${p}kk),
+      ${p}t AS MATERIALIZED (SELECT vec_id, v FROM ${bp}e
         WHERE vec_id % (SELECT stride FROM ${p}st) = 0),
       ${p}c0 AS (SELECT CAST(rn0 - 1 AS BIGINT) AS cid, v AS cv
         FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM ${p}t)
@@ -125,13 +125,13 @@ object SqlIvf {
       ${p}x$t AS (SELECT cid, u.i AS dim, CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS xq
         FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1), i -> {'i': i, 'x': v[i]})) AS u
               FROM ${p}a$t)),
-      ${p}c$t AS (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+      ${p}c$t AS MATERIALIZED (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
         FROM (SELECT cid, dim, SUM(xq) AS s, COUNT(*) AS n FROM ${p}x$t GROUP BY cid, dim)
         GROUP BY cid)"""
     }.mkString(",\n      ")
     s"""$init,
       $rounds,
-      ${p}cents AS (SELECT cid, cv FROM ${p}c$iters)"""
+      ${p}cents AS MATERIALIZED (SELECT cid, cv FROM ${p}c$iters)"""
   }
 
   /** DuckDB mirror of the ENTRY-RESOLUTION rule (Ivf.entryLadder +
@@ -188,10 +188,10 @@ object SqlIvf {
       .mkString("\n          UNION ALL ")
     val ratio = graft.operators.Ivf.EntryStructureRatio
     val margin = graft.operators.Ivf.EntryRatioMargin
-    s"""${p}ev AS (SELECT vec_id, v FROM ${bp}e
+    s"""${p}ev AS MATERIALIZED (SELECT vec_id, v FROM ${bp}e
         WHERE vec_id % (SELECT GREATEST(1, n // (128 * k)) FROM ${bp}prm, ${bp}kk) = 0),
-      ${p}en AS (SELECT COUNT(*) AS en FROM ${p}ev),
-      ${p}thr AS (SELECT LEAST(CAST($ratio AS DOUBLE),
+      ${p}en AS MATERIALIZED (SELECT COUNT(*) AS en FROM ${p}ev),
+      ${p}thr AS MATERIALIZED (SELECT LEAST(CAST($ratio AS DOUBLE),
           floor((pow(2.0, -2.0 / len(v)) - CAST($margin AS DOUBLE)) * 10000.0) / 10000.0) AS thr
         FROM ${bp}e LIMIT 1),
       $chains,
@@ -200,11 +200,11 @@ object SqlIvf {
           $dUnion), ${bp}prm, ${bp}kk
         WHERE cells <= $maxMult * k AND cells <= $maxCells AND cells < n),
       ${p}stp AS (SELECT cells, md, LAG(md) OVER (ORDER BY cells) AS pmd FROM ${p}lv),
-      ${p}aq AS (SELECT COALESCE(
+      ${p}aq AS MATERIALIZED (SELECT COALESCE(
           MAX(CASE WHEN pmd IS NOT NULL AND md < pmd * (SELECT thr FROM ${p}thr) THEN cells END),
           (SELECT k FROM ${bp}kk)) AS aq FROM ${p}stp),
       ${p}ecal AS ($ecal),
-      ${p}ecen AS (SELECT cid, cv FROM ${p}ecal WHERE cells = (SELECT aq FROM ${p}aq))"""
+      ${p}ecen AS MATERIALIZED (SELECT cid, cv FROM ${p}ecal WHERE cells = (SELECT aq FROM ${p}aq))"""
   }
 
   /** DuckDB mirror of the TWO-LEVEL seed selection
@@ -230,12 +230,12 @@ object SqlIvf {
     val powers = Iterator.iterate(16)(_ * 2)
       .takeWhile(p => p.toLong * p <= graft.operators.Ivf.MaxCells).toSeq
     val init =
-      s"""slb AS (SELECT a.bid AS vec_id, b.v FROM anch a JOIN bb b ON b.bid = a.bid),
-      sln AS (SELECT COUNT(*) AS bn FROM slb),
-      slcc AS (SELECT COALESCE(
+      s"""slb AS MATERIALIZED (SELECT a.bid AS vec_id, b.v FROM anch a JOIN bb b ON b.bid = a.bid),
+      sln AS MATERIALIZED (SELECT COUNT(*) AS bn FROM slb),
+      slcc AS MATERIALIZED (SELECT COALESCE(
           (SELECT MIN(pw) FROM (SELECT UNNEST(${powers.map(_.toString + "::BIGINT").mkString("[", ", ", "]")}) AS pw), sln
            WHERE pw * pw >= bn), ${powers.last}) AS cc FROM sln),
-      sltl AS (SELECT GREATEST(16, cc // 8) AS tl FROM slcc),
+      sltl AS MATERIALIZED (SELECT GREATEST(16, cc // 8) AS tl FROM slcc),
       slc0 AS (SELECT CAST(rn0 - 1 AS BIGINT) AS cid, v AS cv
         FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn0 FROM slb)
         WHERE rn0 <= (SELECT cc FROM slcc))"""
@@ -247,22 +247,22 @@ object SqlIvf {
       slx$t AS (SELECT cid, u.i AS dim, CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS xq
         FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1), i -> {'i': i, 'x': v[i]})) AS u
               FROM sla$t)),
-      slc$t AS (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
+      slc$t AS MATERIALIZED (SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cv
         FROM (SELECT cid, dim, SUM(xq) AS s, COUNT(*) AS n FROM slx$t GROUP BY cid, dim)
         GROUP BY cid)"""
     }.mkString(",\n      ")
     s"""$init,
       $rounds,
-      slasn AS (SELECT vec_id AS bid, cid FROM (
+      slasn AS MATERIALIZED (SELECT vec_id AS bid, cid FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2sq("e.v", "c.cv")}, c.cid) AS rn
         FROM slb e CROSS JOIN slc$iters c) WHERE rn = 1),
-      slcf AS (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM slc$iters),
-      slqc AS (SELECT qid, cid FROM (
+      slcf AS MATERIALIZED (SELECT cid, (cv::REAL[])::DOUBLE[] AS cvf FROM slc$iters),
+      slqc AS MATERIALIZED (SELECT qid, cid FROM (
         SELECT q.qid, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY sqrt(${l2sq("q.qv", "c.cvf")}), c.cid) AS rn
         FROM qq q CROSS JOIN slcf c) WHERE rn <= (SELECT tl FROM sltl)),
-      sd3 AS (SELECT qid, bid FROM (
+      sd3 AS MATERIALIZED (SELECT qid, bid FROM (
         SELECT s.qid, a.bid,
                ROW_NUMBER() OVER (PARTITION BY s.qid
                  ORDER BY ${Vec.sqlMetricDist(metric, "q.qv", "b.v")}, a.bid) AS rn
