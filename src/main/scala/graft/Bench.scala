@@ -71,6 +71,8 @@ object Bench {
     // this same pass)
     queries.HnswQs3.cellKnn(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.HnswQs3.routedCountedArtifact(spark, sfDir, "ip").write.format("noop").mode("overwrite").save()
+    queries.HnswQs3.routedCountedArtifact(spark, sfDir, "ip", queries.HnswQs.SweepDriftTag)
+      .write.format("noop").mode("overwrite").save()
     queries.CurationQs.allIvf(spark, sfDir)
     queries.HnswQs2.descentGraph(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.DedupQs.minhashPairs(spark, sfDir)

@@ -493,26 +493,57 @@ object HnswQs {
       // the routed row (the operating point the catalog ships), so a
       // regression in entry resolution is visible in the sweep output
       // rather than hidden behind the aq-tagged artifact name
-      val routedRows = Seq("ip").map { m =>
+      // eval_dist (round 14 — m13's operational rule as a SHIPPED
+      // diagnostic): a recall monitor that only ever scores
+      // in-distribution queries is an anti-signal under query drift
+      // (m13: in-dist held-out 0.98 while a drifted manifold got 0.56
+      // from the same index). The routed operating point therefore
+      // ships an in-dist/drifted recall PAIR: same persisted index,
+      // knobs and seeding, queries pushed sigma=1.0 (cos≈0.707 at 64d
+      // in expectation — m13's measured cliff edge) along a
+      // deterministic hash direction (operators.QueryDrift), scored
+      // against the drifted exact groundtruth. Both rows load counted
+      // artifacts (lesson 20); every non-wall column is
+      // crosscore-deterministic.
+      def routedRowsFor(evalDist: String) = Seq("ip").map { m =>
         val (routedEf, routedRounds, _) = HnswQs3.routedKnobsFor(s, dir)
-        val art = HnswQs3.routedCountedArtifact(s, dir, m).localCheckpoint()
+        val art = HnswQs3.routedCountedArtifact(s, dir, m, evalDist).localCheckpoint()
         val meta = art.select(col("visited_total"), col("build_wall_ms"),
           col("seed_evals_total")).head()
         val visitedTotal = meta.getLong(0)
         val wallMs = meta.getDouble(1)
         val seedEvalsTotal = meta.getLong(2)
+        val gtM = if (evalDist == "indist") gtIp
+          else BruteForce.topkPlan(
+            baseBv.select(col("bid"), col("bv")),
+            graft.operators.QueryDrift.dNN(
+              q2, graft.operators.QueryDrift.sigmaOf(evalDist)),
+            m, 10).select(col("qid"), col("bid")).localCheckpoint()
         val hits = art.select(col("qid"), col("bid"))
-          .join(gtIp, Seq("qid", "bid")).count()
+          .join(gtM, Seq("qid", "bid")).count()
         (s"routed_$m", routedEf, hits / nGtIp, visitedTotal / nQ,
           routedRounds, wallMs, nQ / (wallMs / 1000.0), 1,
           HnswQs3.resolvedEntryCells(s, dir), seedEvalsTotal / nQ)
       }
-      (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
-        .toDF("method", "param", "recall", "avg_visited", "hops", "wall_ms",
-          "qps", "batch_n", "entry_cells", "seed_evals")
-        .orderBy(col("method"), col("param"))
+      val routedRows = routedRowsFor("indist")
+      val routedDriftRows = routedRowsFor(SweepDriftTag)
+      val cols = Seq("method", "param", "recall", "avg_visited", "hops",
+        "wall_ms", "qps", "batch_n", "entry_cells", "seed_evals")
+      val indistDf =
+        (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
+          .toDF(cols: _*).withColumn("eval_dist", lit("indist"))
+      val driftDf = routedDriftRows.toDF(cols: _*)
+        .withColumn("eval_dist", lit(SweepDriftTag))
+      indistDf.union(driftDf)
+        .orderBy(col("method"), col("eval_dist"), col("param"))
     },
     None)
+
+  /** The sweep's drifted-eval point (m13's measured cliff edge:
+    * sigma = 1.0 → cos(q,q') ≈ 0.707 in expectation at 64d, where the
+    * 1M clean graph lost 14pt — far enough to move when robustness
+    * regresses, near enough that the row isn't just noise). */
+  private[graft] val SweepDriftTag = "d100"
 
   /** Cross-distribution bridge edges (hnsw_cosine_status_high.py:
     * 1080-1195 build_cross_distribution_edges and
@@ -1060,7 +1091,7 @@ object HnswQs {
     * Metric-parameterized like the Spark build. */
   private[queries] def sqlRichCtesFor(metric: String): String = s"""
       rq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-      rb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
+      rb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
       rkn AS (SELECT CASE WHEN (SELECT COUNT(*) FROM rb) <= 1000000 THEN $RichK ELSE 96 END AS rk),
       rsc AS (SELECT qid, bid, ${Vec.sqlMetricDist(metric, "qv", "bv")} AS dist FROM rb CROSS JOIN rq),
       rrr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, bid) AS INT) AS rnk
@@ -1070,7 +1101,7 @@ object HnswQs {
       rpr AS (SELECT m1.qid, m1.rnk AS r1, m1.bid AS tbid, m2.bid AS cbid,
                     ${Vec.sqlMetricDist(metric, "m1.v", "m2.v")} AS d
              FROM rmem m1 JOIN rmem m2 ON m1.qid = m2.qid AND m1.rnk <> m2.rnk),
-      rsel AS (SELECT qid, r1, tbid, cbid, d FROM (
+      rsel AS MATERIALIZED (SELECT qid, r1, tbid, cbid, d FROM (
                 SELECT rpr.*, ROW_NUMBER() OVER (PARTITION BY qid, r1 ORDER BY d, cbid) AS mrn
                 FROM rpr) WHERE mrn <= $RichM),
       rund AS (SELECT tbid AS src, cbid AS dst, d FROM rsel

@@ -694,14 +694,22 @@ object HnswQs3 {
     * Vec.metricDist — negated similarity for cosine/ip). Counted
     * variant feeds the sweep's visited column. */
   private[graft] def routedSearchCounted(s: SparkSession, dir: String,
-      metric: String): (DataFrame, Long, Long) = {
+      metric: String, driftSigma: Double = 0.0): (DataFrame, Long, Long) = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val edges = routedEdges(s, dir, metric).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id").as("bid"), col("embedding").as("bv"))
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queriesIn = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // drifted-eval variant (round 14 — m13's operational rule shipped):
+    // the SAME index artifacts, knobs and seeding serve queries pushed
+    // sigma off their manifold position (operators.QueryDrift — pure
+    // hash math, crosscore-deterministic). The graph/anchors/seeds stay
+    // fixed, so the row isolates pure query-drift robustness.
+    val queries = if (driftSigma > 0.0)
+      graft.operators.QueryDrift.dNN(queriesIn, driftSigma).localCheckpoint()
+    else queriesIn
     val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).head().getLong(0)
     val ss = graft.operators.SeedSelect
@@ -734,7 +742,7 @@ object HnswQs3 {
     * include the build. Keyed by every resolved knob, so a rule change
     * can never serve a stale operating point. */
   private[graft] def routedCountedArtifact(s: SparkSession, dir: String,
-      metric: String): DataFrame = {
+      metric: String, evalDist: String = "indist"): DataFrame = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
     val aq = resolvedEntryCells(s, dir)
     val ss = graft.operators.SeedSelect
@@ -744,11 +752,16 @@ object HnswQs3 {
     // _tl: the two-level seed width joined in round 13 (the seeding
     // changed from the exact bank scan) — the tag must change with
     // the build semantics or a pre-union / pre-resolver / pre-seeding
-    // artifact would alias the new search
+    // artifact would alias the new search. The drifted-eval variant
+    // (round 14) appends _ev$tag; the indist name is unchanged so
+    // existing artifacts stay valid.
+    val sigma = if (evalDist == "indist") 0.0
+      else graft.operators.QueryDrift.sigmaOf(evalDist)
+    val evTag = if (evalDist == "indist") "" else s"_ev$evalDist"
     graft.operators.ProjIndex.ensureTable(s, dir,
-      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u${CellK}_aq${aq}_tl$tl") {
+      s"routed_counted_${metric}_ef${ef}_r${rounds}_e${ents}_d${RoutedDeg}_u${CellK}_aq${aq}_tl$tl$evTag") {
       val t0 = System.nanoTime()
-      val (res, visited, seedEvals) = routedSearchCounted(s, dir, metric)
+      val (res, visited, seedEvals) = routedSearchCounted(s, dir, metric, sigma)
       val rows = res.localCheckpoint()
       rows.count() // force the search so wall_ms covers execution
       val wallMs = (System.nanoTime() - t0) / 1e6
