@@ -77,6 +77,16 @@ object HeldoutCurve {
           if (p.length > 4) p(4) else 0, if (p.length > 5) p(5) else 0,
           if (p.length > 6) p(6) else 0)
       }
+    // fail a misconfigured sweep HERE, not an hour into phase 4 after
+    // the corpus/groundtruth/list builds (ADVICE r13 2): the insample
+    // slice is the first nEval TRAINING queries, so a positive tu
+    // below nEval would silently measure partially-untrained queries
+    // under the "insample" label
+    confs.foreach { case (ef, rounds, _, _, _, _, tu) =>
+      require(ef > 0 && rounds > 0, s"bad conf ef=$ef rounds=$rounds")
+      require(tu <= 0 || tu >= nEval,
+        s"tu=$tu in (0, nEval=$nEval) would mislabel the insample row")
+    }
     // cluster count for the generated corpus (m6 = 8, the reference's
     // synthetic default — isotropic 64d inside each cluster; m7 = 4096
     // to give neighborhoods genuine local structure like real
@@ -163,7 +173,11 @@ object HeldoutCurve {
     // query-drift robustness. Variants (arg 9, comma list):
     //   dNN  = push each eval query a fixed TOTAL norm NN/100 off its
     //          position along a deterministic hash direction, then
-    //          re-normalize (cos(q,q') = 1/sqrt(1+sigma^2))
+    //          re-normalize. cos(q,q') = 1/sqrt(1+sigma^2) holds in
+    //          EXPECTATION only — g is not orthogonalized against qv,
+    //          so each query carries an O(sigma/sqrt(d)) spread around
+    //          that value (ADVICE r13 4; the docs' quoted cosines are
+    //          the 64d expectations, not per-query measurements)
     //   xgen = nEval queries from the HOSTILE generator — a different
     //          manifold entirely; ids disjoint from the corpus
     val driftVariants: Seq[(String, DataFrame)] = {
@@ -176,24 +190,12 @@ object HeldoutCurve {
                 col("embedding").as("qv"))
             ("xgen", dfv.localCheckpoint())
           case v if v.startsWith("d") && v.drop(1).forall(_.isDigit) =>
-            val sigma = v.drop(1).toInt / 100.0
-            val dfv = qEval.as[(Long, Array[Float])].map { case (qid, qv) =>
-              val dd = qv.length
-              val g = Array.tabulate(dd) { i =>
-                SynthData.gauss(SynthData.splitmix(0xD21F7L ^ qid) ^
-                  SynthData.splitmix(0xA11CEL << 32 | i.toLong))
-              }
-              var gn = 0.0
-              var i = 0
-              while (i < dd) { gn += g(i) * g(i); i += 1 }
-              val gs = sigma / math.sqrt(gn)
-              val raw = Array.tabulate(dd)(i => qv(i) + gs * g(i))
-              var n2 = 0.0
-              i = 0
-              while (i < dd) { n2 += raw(i) * raw(i); i += 1 }
-              val inv = 1.0 / math.sqrt(n2)
-              (qid, raw.map(x => (x * inv).toFloat))
-            }.toDF("qid", "qv")
+            // shared construction (operators.QueryDrift since round 14
+            // — the sweep's eval_dist rows use the identical kernel;
+            // QueryDriftSpec pins the refactor bit-for-bit against the
+            // original inline math, so the m13 numbers stay valid)
+            val dfv = graft.operators.QueryDrift.dNN(
+              qEval, graft.operators.QueryDrift.sigmaOf(v))
             (v, dfv.localCheckpoint())
           case other => sys.error(s"unknown drift variant $other")
         }
@@ -215,17 +217,59 @@ object HeldoutCurve {
     // routed substrate) ----
     val n = Tables.baseCount(spark, dir)
     val kk = queries.HnswQs.richKFor(n)
-    // the 5e11-eval training-list scan is the build's long pole —
-    // persist it so selection-rule iterations don't re-pay it
-    val (lists, tLists) = time {
-      graft.operators.ProjIndex.ensureTable(spark, dir,
-        s"train_lists_q${nTrain}_k$kk") {
-        graft.operators.BruteForce.topk(baseR, qTrain, "l2", kk)
-          .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
-      }
+    // the training-list scan is the build's long pole (N·|Qtrain|
+    // distance evals) — persist it so selection-rule iterations don't
+    // re-pay it, and size it to the LARGEST prefix any conf actually
+    // trains on (round 14): a knee-density run (tu = N/32) must not
+    // pay the full matched-density scan it exists to avoid. Lists are
+    // per-query independent, so the q${tuMax} table is itself a valid
+    // prefix of the matched-density one; when every conf is
+    // xgen-trained (tu < 0) no clean lists are built at all.
+    val tuMax: Long = {
+      val eff = confs.toSeq.map(_._7.toLong).filter(_ >= 0L)
+        .map(tu => if (tu == 0L || tu > nTrain) nTrain else tu)
+      if (eff.isEmpty) 0L else eff.max
     }
-    println(f"HELDOUT_CURVE train_lists_sec=$tLists%.1f")
-    System.out.flush()
+    val lists: Option[DataFrame] = if (tuMax > 0L) {
+      val (l, tLists) = time {
+        graft.operators.ProjIndex.ensureTable(spark, dir,
+          s"train_lists_q${tuMax}_k$kk") {
+          graft.operators.BruteForce.topk(baseR,
+            qTrain.filter(col("qid") / 50 < tuMax), "l2", kk)
+            .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
+        }
+      }
+      println(f"HELDOUT_CURVE train_lists_sec=$tLists%.1f (tu_max=$tuMax%d)")
+      System.out.flush()
+      Some(l)
+    } else None
+    // xgen training lists (m13b/m13c): same prefix-subset economics —
+    // clusteredHostile vectors are pure functions of (seed, id, dim),
+    // so the size-s training set is the id-prefix of the largest one;
+    // ONE persisted scan at the max requested size serves the whole
+    // OOD density ladder. (The r13 per-size rich_proj_xgen* artifacts
+    // stay valid: identical rows, only the list scan is now shared.)
+    val xgenMax: Long = {
+      val sizes = confs.toSeq.map(_._7.toLong).filter(_ < 0L)
+        .map(tu => if (tu == -1L) math.max(nBase / 32L, 2000L) else -tu)
+      if (sizes.isEmpty) 0L else sizes.max
+    }
+    lazy val qXAll = SynthData.clusteredHostile(spark, xgenMax + nEval, dim, 64, 4242L)
+      .filter(col("vec_id") >= nEval)
+      .select((col("vec_id") + lit(1000000000000L)).as("qid"),
+        col("embedding").as("qv"))
+    val xlists: Option[DataFrame] = if (xgenMax > 0L) {
+      val (l, tX) = time {
+        graft.operators.ProjIndex.ensureTable(spark, dir,
+          s"xgen_lists_q${xgenMax}_k$kk") {
+          graft.operators.BruteForce.topk(baseR, qXAll, "l2", kk)
+            .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
+        }
+      }
+      println(f"HELDOUT_CURVE xgen_lists_sec=$tX%.1f (xgen_max=$xgenMax%d)")
+      System.out.flush()
+      Some(l)
+    } else None
     // _occ: dense-gated occlusion selection (round 11) — a new tag so
     // the pre-occlusion m6 graph can't alias the new build.
     // Density-law mode (round 13, m11): the conf's tu field trains the
@@ -252,14 +296,16 @@ object HeldoutCurve {
         // explicit xgen training-set size (-tu), for the OOD density
         // ladder (is the matched-xgen ceiling a density artifact?)
         val nX = if (tu0 == -1L) math.max(nBase / 32L, 2000L) else -tu0
-        val qX = SynthData.clusteredHostile(spark, nX + nEval, dim, 64, 4242L)
-          .filter(col("vec_id") >= nEval)
-          .select((col("vec_id") + lit(1000000000000L)).as("qid"),
-            col("embedding").as("qv"))
+        // the size-nX training set is the id-prefix of qXAll (ids
+        // [nEval, nX+nEval) shifted by 1e12) — filter queries AND the
+        // shared persisted lists to that prefix
+        val hi = 1000000000000L + nEval + nX
+        val qX = qXAll.filter(col("qid") < hi)
         val (r, tRich) = time {
           graft.operators.ProjIndex.ensureTable(spark, dir,
             s"rich_proj_xgen${nX}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
-            queries.HnswQs.richGraphFrom(baseR, qX, "l2", kk)
+            queries.HnswQs.richGraphFrom(baseR, qX, "l2", kk,
+              xlists.map(_.filter(col("qid") < hi)))
           }
         }
         println(f"HELDOUT_CURVE rich_graph_sec=$tRich%.1f (xgen-trained |Q|=$nX%d, k=$kk)")
@@ -267,13 +313,15 @@ object HeldoutCurve {
         r
       })
       val tu = if (tu0 <= 0L || tu0 > nTrain) nTrain else tu0
+      require(tu <= tuMax && lists.nonEmpty,
+        s"clean-trained conf tu=$tu but lists were built to tuMax=$tuMax")
       richCache.getOrElseUpdate(tu, {
         val (r, tRich) = time {
           graft.operators.ProjIndex.ensureTable(spark, dir,
             s"rich_proj_train${tu}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
             queries.HnswQs.richGraphFrom(baseR,
               qTrain.filter(col("qid") / 50 < tu), "l2", kk,
-              Some(lists.filter(col("qid") / 50 < tu)))
+              Some(lists.get.filter(col("qid") / 50 < tu)))
           }
         }
         println(f"HELDOUT_CURVE rich_graph_sec=$tRich%.1f (|Qtrain_use|=$tu%d, k=$kk)")
@@ -309,8 +357,10 @@ object HeldoutCurve {
     // k-means at an explicit cell count + nearest-base anchor per cell;
     // aq = -1 resolves the depth from the corpus's own error ladder
     lazy val autoAq = {
-      val lad = Ivf.entryLadder(
-        base.select(col("bid").as("vec_id"), col("bv").as("embedding")), n)
+      // the persisted-artifact form (entry_ladder table): at 10M the
+      // ladder is a multi-k-means build — a re-invocation on warm
+      // artifacts must load it, not re-measure it
+      val lad = queries.HnswQs3.entryLadderTable(spark, dir)
       val r = Ivf.entryCellsFor(lad, dim)
       println(s"HELDOUT_CURVE entry_ladder=${lad.map { case (c, d) =>
         f"$c%d:$d%.6f" }.mkString(",")} resolved_aq=$r")
@@ -403,7 +453,12 @@ object HeldoutCurve {
 
     confs.foreach { case (ef, rounds, deg, ents, aq, tl, tu) =>
       run("heldout", qEval, gtEval, ef, rounds, deg, ents, aq, tl, tu)
-      run("insample", qIns, gtIns, ef, rounds, deg, ents, aq, tl, tu)
+      // for an xgen-trained graph (tu < 0) the qIns slice is clean
+      // TRAINING-split queries the graph never saw — a genuine
+      // measurement (the m13b matrix's xgen-trained×clean-eval cell)
+      // but NOT in-sample; tag it honestly (ADVICE r13 1)
+      run(if (tu < 0) "cleanq" else "insample",
+        qIns, gtIns, ef, rounds, deg, ents, aq, tl, tu)
       driftGt.foreach { case (v, qs, g) =>
         run(s"drift_$v", qs, g, ef, rounds, deg, ents, aq, tl, tu)
       }
