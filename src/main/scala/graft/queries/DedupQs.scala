@@ -600,8 +600,8 @@ object DedupQs {
       // over raw v; scale = 2×32-bit over centered v (quantized-exact
       // mean, the SqlIvf moment form). Exactly one branch is non-empty.
       s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      prm AS (SELECT COUNT(*) AS n FROM e),
+      WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      prm AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
       sg AS (SELECT vec_id, $keyList AS ks FROM e, prm WHERE n < ${Lsh.PairScaleCutover}),
       sbands AS (
         SELECT vec_id, u.i AS band_idx, CAST(u.k AS BIGINT) AS bkey
@@ -615,8 +615,8 @@ object DedupQs {
              FROM (SELECT unnest(list_transform(range(1, ${Lsh.Dim + 1}),
                           i -> {'i': i, 'x': v[i]})) AS u FROM e)
              GROUP BY u.i),
-      mn AS (SELECT list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS m FROM mx),
-      ce AS (SELECT vec_id, list_transform(range(1, ${Lsh.Dim + 1}), i -> v[i] - m[i]) AS cv
+      mn AS MATERIALIZED (SELECT list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS m FROM mx),
+      ce AS MATERIALIZED (SELECT vec_id, list_transform(range(1, ${Lsh.Dim + 1}), i -> v[i] - m[i]) AS cv
              FROM e, mn, prm
              WHERE n >= ${Lsh.PairScaleCutover} AND n < ${Lsh.PairWideCutover}),
       csg AS (SELECT vec_id, $keyListC AS ks FROM ce),
@@ -645,7 +645,7 @@ object DedupQs {
       bands AS (SELECT vec_id, band_idx, bkey FROM sbands
                 UNION ALL SELECT vec_id, band_idx, bkey FROM cbands
                 UNION ALL SELECT vec_id, band_idx, bkey FROM wbands),
-      capped AS (
+      capped AS MATERIALIZED (
         SELECT vec_id, band_idx, bkey FROM (
           SELECT vec_id, band_idx, bkey,
                  ROW_NUMBER() OVER (PARTITION BY band_idx, bkey ORDER BY vec_id) AS brn

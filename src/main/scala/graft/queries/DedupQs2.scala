@@ -67,19 +67,19 @@ object DedupQs2 {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""
-      WITH h AS (
+      WITH h AS MATERIALIZED (
         SELECT doc_id,
                list_transform(range(1, greatest(length(text) - 7, 0) + 1),
                               i -> md5(substr(text, i, 8))) AS h
         FROM documents),
-      w AS (SELECT doc_id,
+      w AS MATERIALIZED (SELECT doc_id,
                    list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
                                                 j -> list_aggregate(h[j:j+3], 'min'))) AS fps
             FROM h),
-      x0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      x0 AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w),
       rare AS (SELECT fp FROM x0 GROUP BY fp HAVING COUNT(*) <= $FpDfCap),
-      x AS (SELECT doc_id, fp FROM x0 JOIN rare USING (fp)),
-      n AS (SELECT doc_id, COUNT(*) AS nfp FROM x GROUP BY doc_id),
+      x AS MATERIALIZED (SELECT doc_id, fp FROM x0 JOIN rare USING (fp)),
+      n AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nfp FROM x GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
             FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2)

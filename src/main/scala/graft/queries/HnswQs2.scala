@@ -80,15 +80,15 @@ object HnswQs2 {
     // runTrace ledger)
     Some(s"""
       WITH ${VectorQs2.sqlProjCtes},
-      proj AS (SELECT src, dst FROM cp WHERE dr <= ${VectorQs2.DegCap}),
+      proj AS MATERIALIZED (SELECT src, dst FROM cp WHERE dr <= ${VectorQs2.DegCap}),
       dg AS (SELECT src, COUNT(*) AS degree FROM proj GROUP BY src),
       ep AS (SELECT src AS ebid FROM dg ORDER BY degree DESC, src LIMIT 1),
-      qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-      bb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
-      beam0 AS (SELECT q.qid, v.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+      qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      beam0 AS MATERIALIZED (SELECT q.qid, v.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
                 FROM qq q CROSS JOIN ep JOIN bb v ON v.bid = ep.ebid),
       ${VectorQs3.sqlBeamRounds(Rounds, Ef)},
-      gt1 AS (SELECT qid, bid AS target FROM (
+      gt1 AS MATERIALIZED (SELECT qid, bid AS target FROM (
                 SELECT q.qid, b.bid,
                        ROW_NUMBER() OVER (PARTITION BY q.qid
                          ORDER BY sqrt(${Vec.sqlL2sq("q.qv", "b.v")}) ASC, b.bid) AS rn

@@ -279,19 +279,19 @@ object VectorQs2 {
     * projection-graph edge events (roar_projection_graph and
     * roar_entry_point_degree both select from it). */
   private[queries] lazy val sqlProjCtes = s"""
-      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-      b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
+      q AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      b AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 50 <> 0),
       sc AS (SELECT qid, bid, ${Vec.sqlCosine("qv", "bv")} AS score FROM b CROSS JOIN q),
       rr AS (SELECT qid, bid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, bid) AS INT) AS rnk FROM sc),
-      top10 AS (SELECT qid, bid, rnk FROM rr WHERE rnk <= 10),
-      mem AS (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM top10 t JOIN b e ON e.bid = t.bid),
+      top10 AS MATERIALIZED (SELECT qid, bid, rnk FROM rr WHERE rnk <= 10),
+      mem AS MATERIALIZED (SELECT t.qid, t.rnk, t.bid, e.bv AS v FROM top10 t JOIN b e ON e.bid = t.bid),
       pr AS (SELECT m1.qid, m1.rnk AS r1, m2.rnk AS r2,
                     CASE WHEN m1.rnk = m2.rnk THEN 0.0
                          ELSE 1.0 - ${Vec.sqlCosine("m1.v", "m2.v")} END AS d
              FROM mem m1 JOIN mem m2 ON m1.qid = m2.qid),
-      dm AS (SELECT qid, list(d ORDER BY (r1 - 1) * 10 + r2) AS dmat, MAX(r1) AS nm
+      dm AS MATERIALIZED (SELECT qid, list(d ORDER BY (r1 - 1) * 10 + r2) AS dmat, MAX(r1) AS nm
              FROM pr GROUP BY qid),
-      bm AS (SELECT qid, list(bid ORDER BY rnk) AS bids FROM top10 GROUP BY qid),
+      bm AS MATERIALIZED (SELECT qid, list(bid ORDER BY rnk) AS bids FROM top10 GROUP BY qid),
       cnd AS (SELECT qid, r1 AS tr, list(r2 ORDER BY d, r2) AS cands
               FROM pr WHERE r1 <> r2 GROUP BY qid, r1),
       ${/* the selection fold unrolled into 8 chained steps: DuckDB
@@ -321,7 +321,7 @@ object VectorQs2 {
       dd AS (SELECT src, dst, d, qid, tr, si, kind FROM (
                SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY qid, tr, si, kind) AS rn
                FROM ev) WHERE rn = 1),
-      cp AS (SELECT src, dst, d,
+      cp AS MATERIALIZED (SELECT src, dst, d,
                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY qid, tr, si, kind) AS dr
              FROM dd)"""
 

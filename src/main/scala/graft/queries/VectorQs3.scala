@@ -98,14 +98,14 @@ object VectorQs3 {
     * `bb`(bid, v), `beam0`(qid, bid, dist) in scope. */
   private[queries] def sqlBeamRounds(rounds: Int, ef: Int): String =
     (1 to rounds).map { r =>
-      s"""ex$r AS (SELECT DISTINCT b.qid, e.dst AS bid
+      s"""ex$r AS MATERIALIZED (SELECT DISTINCT b.qid, e.dst AS bid
              FROM beam${r - 1} b JOIN proj e ON e.src = b.bid),
       sc$r AS (SELECT x.qid, x.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
                FROM ex$r x JOIN qq q ON q.qid = x.qid JOIN bb v ON v.bid = x.bid),
       un$r AS (SELECT DISTINCT qid, bid, dist FROM
                  (SELECT qid, bid, dist FROM beam${r - 1}
                   UNION ALL SELECT qid, bid, dist FROM sc$r)),
-      beam$r AS (SELECT qid, bid, dist FROM (
+      beam$r AS MATERIALIZED (SELECT qid, bid, dist FROM (
                    SELECT qid, bid, dist,
                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rn
                    FROM un$r) WHERE rn <= $ef)"""
@@ -141,12 +141,12 @@ object VectorQs3 {
     },
     Some(s"""
       WITH ${VectorQs2.sqlProjCtes},
-      proj AS (SELECT src, dst FROM cp WHERE dr <= ${VectorQs2.DegCap}),
+      proj AS MATERIALIZED (SELECT src, dst FROM cp WHERE dr <= ${VectorQs2.DegCap}),
       dg AS (SELECT src, COUNT(*) AS degree FROM proj GROUP BY src),
       ep AS (SELECT src AS ebid FROM dg ORDER BY degree DESC, src LIMIT 1),
-      qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-      bb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
-      beam0 AS (SELECT q.qid, v.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
+      qq AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      bb AS MATERIALIZED (SELECT vec_id AS bid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      beam0 AS MATERIALIZED (SELECT q.qid, v.bid, sqrt(${Vec.sqlL2sq("q.qv", "v.v")}) AS dist
                 FROM qq q CROSS JOIN ep JOIN bb v ON v.bid = ep.ebid),
       ${sqlBeamRounds(3, 10)}
       SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS INT) AS rnk,
