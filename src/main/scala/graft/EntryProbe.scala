@@ -26,7 +26,22 @@ object EntryProbe {
     val emb = Tables.t(spark, dir, "embeddings")
       .filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id"), col("embedding"))
-    val rows = Ivf.entryLadder(emb, n, maxMult)
+    // incremental extension (round 14 — lesson 43's measure-past-the-
+    // cap runs as ONE marginal k-means, not a full re-measurement):
+    // when the dir already carries the persisted entry_ladder artifact
+    // (the catalog's resolvedEntryCells built it), start from its rows
+    // and compute only the deeper steps. The eval sample derives from
+    // c0 alone, so the merged ladder is bit-identical to a full run.
+    val ladPath = new org.apache.hadoop.fs.Path(
+      graft.operators.ProjIndex.tablePath(dir, "entry_ladder"), "_SUCCESS")
+    val fs = ladPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val have: Seq[(Int, Double)] =
+      if (fs.exists(ladPath)) queries.HnswQs3.entryLadderTable(spark, dir)
+      else Seq.empty
+    if (have.nonEmpty)
+      println(s"ENTRY_PROBE loaded ${have.length} persisted rows (to ${have.last._1})")
+    val rows = have ++ Ivf.entryLadder(emb, n, maxMult,
+      startAfterCells = have.lastOption.map(_._1).getOrElse(0))
     rows.foldLeft(Option.empty[Double]) { (prev, cd) =>
       val (cells, meanD2) = cd
       val ratio = prev.map(p => meanD2 / p)

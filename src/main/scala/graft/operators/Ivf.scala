@@ -194,14 +194,19 @@ object Ivf {
     * integers first (determinism rule — exact under any
     * partitioning). */
   def entryLadder(emb: DataFrame, n: Long, maxMult: Int = EntryMaxMult,
-      iters: Int = 2): Seq[(Int, Double)] = {
+      iters: Int = 2, startAfterCells: Int = 0): Seq[(Int, Double)] = {
     val c0 = cellsFor(n)
     val evalStride = trainStrideFor(n, c0)
     val eval = (if (evalStride <= 1L) emb
       else emb.filter(col("vec_id") % evalStride === 0)).localCheckpoint()
     val evalN = eval.count()
+    // startAfterCells > 0 = INCREMENTAL extension (round 14): skip
+    // depths a persisted ladder already measured — the eval sample's
+    // stride derives from c0 alone, so later steps computed here are
+    // bit-identical to what a full run would have produced
     val steps = Iterator.iterate(c0)(_ * 2)
       .takeWhile(c => c <= c0.toLong * maxMult && c <= MaxCells && c < n)
+      .filter(_ > startAfterCells)
       .toSeq
     steps.map { cells =>
       val stride = trainStrideFor(n, cells)
