@@ -73,6 +73,13 @@ object Bench {
     queries.HnswQs3.routedCountedArtifact(spark, sfDir, "ip").write.format("noop").mode("overwrite").save()
     queries.HnswQs3.routedCountedArtifact(spark, sfDir, "ip", queries.HnswQs.SweepDriftTag)
       .write.format("noop").mode("overwrite").save()
+    // the sweep's exact-GT artifacts (round 15 — lesson 20): in-dist
+    // l2/ip + the drifted l2/ip twins are |Q|·|B| brute scans, built
+    // once here, loaded inside the timed sweep
+    Seq("l2", "ip").foreach { m =>
+      queries.HnswQs.sweepGt(spark, sfDir, m)
+      queries.HnswQs.sweepGtDrifted(spark, sfDir, m)
+    }
     queries.CurationQs.allIvf(spark, sfDir)
     queries.HnswQs2.descentGraph(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.DedupQs.minhashPairs(spark, sfDir)

@@ -35,9 +35,17 @@ object EntryProbe {
     val ladPath = new org.apache.hadoop.fs.Path(
       graft.operators.ProjIndex.tablePath(dir, "entry_ladder"), "_SUCCESS")
     val fs = ladPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a persisted ladder may be DEEPER than this probe's maxMult
+    // (ADVICE r14): truncate the loaded rows to the same bound
+    // entryLadder itself enforces, so `EntryProbe <dir> <smallMult>`
+    // actually probes at smallMult instead of silently reporting the
+    // deeper persisted depths
+    val capCells = math.min(
+      math.min(Ivf.cellsFor(n).toLong * maxMult, Ivf.MaxCells.toLong),
+      n - 1)
     val have: Seq[(Int, Double)] =
-      if (fs.exists(ladPath)) queries.HnswQs3.entryLadderTable(spark, dir)
-      else Seq.empty
+      (if (fs.exists(ladPath)) queries.HnswQs3.entryLadderTable(spark, dir)
+       else Seq.empty).filter(_._1 <= capCells)
     if (have.nonEmpty)
       println(s"ENTRY_PROBE loaded ${have.length} persisted rows (to ${have.last._1})")
     val rows = have ++ Ivf.entryLadder(emb, n, maxMult,

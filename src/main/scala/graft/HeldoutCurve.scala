@@ -247,8 +247,8 @@ object HeldoutCurve {
     // clusteredHostile vectors are pure functions of (seed, id, dim),
     // so the size-s training set is the id-prefix of the largest one;
     // ONE persisted scan at the max requested size serves the whole
-    // OOD density ladder. (The r13 per-size rich_proj_xgen* artifacts
-    // stay valid: identical rows, only the list scan is now shared.)
+    // OOD density ladder. (Pre-r15 nEval-blind xgen tags are orphaned
+    // by the _e tag fix below — deterministic rebuilds, never loaded.)
     val xgenMax: Long = {
       val sizes = confs.toSeq.map(_._7.toLong).filter(_ < 0L)
         .map(tu => if (tu == -1L) math.max(nBase / 32L, 2000L) else -tu)
@@ -258,10 +258,15 @@ object HeldoutCurve {
       .filter(col("vec_id") >= nEval)
       .select((col("vec_id") + lit(1000000000000L)).as("qid"),
         col("embedding").as("qv"))
+    // the xgen artifact tags carry nEval (ADVICE r14): qXAll's id range
+    // is [nEval, xgenMax+nEval) — a rerun with a different nEval is a
+    // DIFFERENT query set, and richGraphFrom trusts fed lists wholesale
+    // (it never re-intersects them with the queries arg), so an
+    // nEval-blind tag would silently train on the wrong prefix
     val xlists: Option[DataFrame] = if (xgenMax > 0L) {
       val (l, tX) = time {
         graft.operators.ProjIndex.ensureTable(spark, dir,
-          s"xgen_lists_q${xgenMax}_k$kk") {
+          s"xgen_lists_q${xgenMax}_e${nEval}_k$kk") {
           graft.operators.BruteForce.topk(baseR, qXAll, "l2", kk)
             .select(col("qid"), col("rnk").cast("int").as("rnk"), col("bid"))
         }
@@ -303,7 +308,7 @@ object HeldoutCurve {
         val qX = qXAll.filter(col("qid") < hi)
         val (r, tRich) = time {
           graft.operators.ProjIndex.ensureTable(spark, dir,
-            s"rich_proj_xgen${nX}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
+            s"rich_proj_xgen${nX}_e${nEval}_occ${queries.HnswQs.RichOccPool}_k${kk}_m16_d48") {
             queries.HnswQs.richGraphFrom(baseR, qX, "l2", kk,
               xlists.map(_.filter(col("qid") < hi)))
           }

@@ -262,8 +262,7 @@ object HnswQs {
       // depth pinned at 10: every sweep search emits top-10, so the
       // recall denominator must be 10 gt rows per query regardless of
       // the SPARK_GRAFT_GT_K env knob (which only gt_topk_* honors)
-      val gt = VectorQs.gtTopk(s, dir, "l2", 10).select(col("qid"), col("bid"))
-        .localCheckpoint()
+      val gt = sweepGt(s, dir, "l2").localCheckpoint()
       val nGt = gt.count().toDouble
       val nQ = q2.count().toDouble
       // score candidates ONCE with the cell's probe rank AND cell id
@@ -484,8 +483,7 @@ object HnswQs {
       // pass (r9 verdict item 4). recall/avg_visited are bit-identical
       // to the live run (deterministic search); wall_ms/qps are the
       // wall of the artifact's one build-time execution.
-      val gtIp = VectorQs.gtTopk(s, dir, "ip", 10).select(col("qid"), col("bid"))
-        .localCheckpoint()
+      val gtIp = sweepGt(s, dir, "ip").localCheckpoint()
       val nGtIp = gtIp.count().toDouble
       // entry_cells (round 12): the entry-quantizer depth behind each
       // row's seeds — 0 for families without one, 8 for the fixed
@@ -514,11 +512,7 @@ object HnswQs {
         val wallMs = meta.getDouble(1)
         val seedEvalsTotal = meta.getLong(2)
         val gtM = if (evalDist == "indist") gtIp
-          else BruteForce.topkPlan(
-            baseBv.select(col("bid"), col("bv")),
-            graft.operators.QueryDrift.dNN(
-              q2, graft.operators.QueryDrift.sigmaOf(evalDist)),
-            m, 10).select(col("qid"), col("bid")).localCheckpoint()
+          else sweepGtDrifted(s, dir, m, evalDist).localCheckpoint()
         val hits = art.select(col("qid"), col("bid"))
           .join(gtM, Seq("qid", "bid")).count()
         (s"routed_$m", routedEf, hits / nGtIp, visitedTotal / nQ,
@@ -527,12 +521,67 @@ object HnswQs {
       }
       val routedRows = routedRowsFor("indist")
       val routedDriftRows = routedRowsFor(SweepDriftTag)
+      // drifted rows for the NON-routed families (round 15 — the
+      // reference's whole comparison is method-vs-method under OOD
+      // queries, hnsw_methods_comparison.ipynb): the ivf np=12 and
+      // multi n=8 operating points re-run against the SAME persisted
+      // index structures with the drifted query set, scored against
+      // the drifted exact l2 groundtruth (a build-once artifact like
+      // the in-dist GTs). The sweep now reads method × eval_dist —
+      // which family degrades least under drift, not just the routed
+      // point's robustness in isolation.
+      val q2d = graft.operators.QueryDrift.dNN(
+          q2, graft.operators.QueryDrift.sigmaOf(SweepDriftTag))
+        .localCheckpoint()
+      val gtL2D = sweepGtDrifted(s, dir, "l2").localCheckpoint()
+      // ivf np=12 under drift: rank cells for the drifted queries,
+      // score the probed candidates, top-10 — the exact per-point
+      // shape the batched in-dist pass is equivalent to
+      val ivfDT0 = System.nanoTime()
+      val rankedD = TopK.perGroup(
+        q2d.crossJoin(broadcast(cents))
+          .select(col("qid").as("g"), col("cid"),
+            graft.functions.Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
+        "g", "cid", "d2", maxProbe, asc = true)
+        .select(col("g").as("qid"), col("cid"))
+      val candD = base.join(rankedD.join(q2d, Seq("qid")), Seq("cid"))
+        .select(col("qid"), col("vec_id").as("bid"),
+          graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
+        .localCheckpoint()
+      val topIvfD = TopK.perGroup(candD, "qid", "bid", "dist", 10, asc = true)
+        .select(col("qid"), col("bid"))
+      val ivfDHits = topIvfD.join(gtL2D, Seq("qid", "bid")).count()
+      val ivfDVisited = candD.count() / nQ
+      val ivfDWallMs = (System.nanoTime() - ivfDT0) / 1e6
+      val ivfDriftRows = Seq(
+        ("ivf", maxProbe, ivfDHits / nGt, ivfDVisited, 0, ivfDWallMs,
+          nQ / (ivfDWallMs / 1000.0), 1, 0, nCents))
+      // multi n=8 under drift: hub + the drifted query's 7 nearest
+      // anchors seed the same rich-graph beam (ef 10 × 3 rounds)
+      val multiDT0 = System.nanoTime()
+      val anchorRankedD = TopK.perGroup(
+        q2d.crossJoin(broadcast(anchorNodes.join(baseBv, Seq("bid"))))
+          .select(col("qid"), col("bid"),
+            graft.functions.Vec.l2Fast(col("qv"), col("bv")).as("d")),
+        "qid", "bid", "d", 7, asc = true)
+        .select(col("qid"), col("bid"), col("rnk"))
+      val seedsMD = q2d.select(col("qid")).withColumn("bid", lit(richEntry))
+        .union(anchorRankedD.select(col("qid"), col("bid")))
+      val (resMD, visMD) = BeamSearch.runFromSeedsCounted(
+        multiEdges, q2d, baseBv, seedsMD, ef = 10, rounds = 3)
+      val topMD = resMD.select(col("qid"), col("bid")).localCheckpoint()
+      val multiDHits = topMD.join(gtL2D, Seq("qid", "bid")).count()
+      val multiDWallMs = (System.nanoTime() - multiDT0) / 1e6
+      val multiDriftRows = Seq(
+        ("multi", 8, multiDHits / nGt, visMD / nQ, 3, multiDWallMs,
+          nQ / (multiDWallMs / 1000.0), 1, anchorCells, anchorBankN))
       val cols = Seq("method", "param", "recall", "avg_visited", "hops",
         "wall_ms", "qps", "batch_n", "entry_cells", "seed_evals")
       val indistDf =
         (ivfRows ++ adaptRows ++ beamRows ++ multiRows ++ wideRows ++ routedRows)
           .toDF(cols: _*).withColumn("eval_dist", lit("indist"))
-      val driftDf = routedDriftRows.toDF(cols: _*)
+      val driftDf = (ivfDriftRows ++ multiDriftRows ++ routedDriftRows)
+        .toDF(cols: _*)
         .withColumn("eval_dist", lit(SweepDriftTag))
       indistDf.union(driftDf)
         .orderBy(col("method"), col("eval_dist"), col("param"))
@@ -544,6 +593,36 @@ object HnswQs {
     * 1M clean graph lost 14pt — far enough to move when robustness
     * regresses, near enough that the row isn't just noise). */
   private[graft] val SweepDriftTag = "d100"
+
+  /** Build-once exact-GT artifact for the quality sweep (round 15 —
+    * lesson 20): deterministic, index-independent, but a |Q|·|B|
+    * brute-force base scan, so it must not be recomputed inside the
+    * catalog's most expensive timed query on every run. Values are
+    * identical to the former inline computation; Bench warms it. */
+  private[graft] def sweepGt(s: SparkSession, dir: String, metric: String): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, s"sweep_gt_${metric}_k10") {
+      VectorQs.gtTopk(s, dir, metric, 10).select(col("qid"), col("bid"))
+    }
+
+  /** Drifted twin of sweepGt: exact GT for the sigma-pushed query set
+    * (operators.QueryDrift — pure hash math, so the artifact is
+    * deterministic too). Keyed by (metric, drift tag) alongside the
+    * _ev-tagged counted-search artifacts. */
+  private[graft] def sweepGtDrifted(
+      s: SparkSession, dir: String, metric: String,
+      tag: String = SweepDriftTag): DataFrame =
+    graft.operators.ProjIndex.ensureTable(s, dir, s"sweep_gt_${metric}_k10_ev$tag") {
+      val emb = Tables.t(s, dir, "embeddings")
+      val baseBv = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      val q2 = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      BruteForce.topkPlan(
+        baseBv,
+        graft.operators.QueryDrift.dNN(
+          q2, graft.operators.QueryDrift.sigmaOf(tag)),
+        metric, 10).select(col("qid"), col("bid"))
+    }
 
   /** Cross-distribution bridge edges (hnsw_cosine_status_high.py:
     * 1080-1195 build_cross_distribution_edges and

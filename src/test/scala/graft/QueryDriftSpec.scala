@@ -12,9 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    independent oracle) — the refactor that shared the construction
   *    between the harness and the sweep cannot have changed the m13
   *    numbers.
-  * 2. The drifted-eval sweep pair exists at test SF: ann_quality_sweep
+  * 2. The drifted-eval sweep rows exist at test SF: ann_quality_sweep
   *    emits the routed operating point once per eval_dist in
-  *    {indist, d100}, from persisted counted artifacts, with sane
+  *    {indist, d100} (from persisted counted artifacts) plus — round
+  *    15 — d100 rows for the ivf np=12 and multi n=8 points, with sane
   *    recall values. Determinism across core counts is the crosscore
   *    gate's job (wall_ms/qps excluded there as documented).
   */
@@ -101,8 +102,22 @@ class QueryDriftSpec extends AnyFunSuite with SharedSpark {
       assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
       assert(r.getDouble(2) > 0.0, "seed_evals must be populated on both rows")
     }
-    // every non-routed family stays in-distribution
-    val others = df.filter(col("method") =!= "routed_ip")
+    // round 15: the drift pair extends past the routed family — the
+    // ivf np=12 and multi n=8 operating points each ship a d100 row
+    // (method × eval_dist, the reference's method-vs-method-under-OOD
+    // comparison shape)
+    val d100 = df.filter(col("eval_dist") === queries.HnswQs.SweepDriftTag)
+      .select(col("method"), col("param"), col("recall")).collect()
+    assert(d100.map(_.getString(0)).sorted.toSeq ==
+      Seq("ivf", "multi", "routed_ip"),
+      s"expected ivf/multi/routed_ip drifted rows, got ${d100.mkString(",")}")
+    val d100ByMethod = d100.map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d100ByMethod("ivf") == 12 && d100ByMethod("multi") == 8)
+    d100.foreach(r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // families without a drift row stay in-distribution
+    val others = df
+      .filter(!col("method").isin("ivf", "multi", "routed_ip"))
       .select(col("eval_dist")).distinct().collect().map(_.getString(0))
     assert(others.toSeq == Seq("indist"))
   }
