@@ -419,6 +419,20 @@ object HeldoutCurve {
       // under the "insample" label
       require(tu <= 0 || tu >= nEval,
         s"tu=$tu < nEval=$nEval would mislabel the insample row")
+      // Populate the memoized cross-run state (anchor bank, coarse
+      // bank) BEFORE the keep snapshot below — their checkpointed
+      // blocks must survive this run (later confs reuse them, and a
+      // localCheckpoint whose blocks are dropped cannot recompute).
+      val aB = if (aq != 0) anchorsFor(aq) else anchorBase
+      if (tl > 0) coarseFor(aq, aB)
+      // Everything persisted from here on is per-run transient state
+      // (richFor's on-miss build internals land back in a parquet
+      // artifact, so its checkpoints are transient too). At 10M each
+      // run's union-graph checkpoint alone is several GB of
+      // block-manager heap and the beam adds per-round blocks; six
+      // accumulated runs OOM'd a 64g driver (round 15 — lesson 34
+      // applied to the harness). Drop the new blocks at run end.
+      val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
       val richE = richFor(tu.toLong).filter(col("erk") <= deg)
         .select(col("src"), col("dst"))
       val edges = richE.union(ck)
@@ -426,7 +440,6 @@ object HeldoutCurve {
         .localCheckpoint()
       val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("src")).head().getLong(0)
-      val aB = if (aq != 0) anchorsFor(aq) else anchorBase
       val nQs = qs.count().toDouble
       val ss = graft.operators.SeedSelect
       val (aRk, seedEvals) = if (tl > 0) {
@@ -454,6 +467,11 @@ object HeldoutCurve {
         f"aq=$aq%d tl=$tl%d tu=$tuEff%d nq=${nQs.toLong}%d recall=$recall%.4f visited_per_q=${vis / nQs}%.1f " +
         f"visited_pct=${100.0 * vis / nQs / n}%.4f seed_evals_per_q=$seedEvals%.1f sec=$sec%.1f")
       System.out.flush()
+      // drop this run's transient checkpoint blocks (see keepRdds
+      // above); results are already reduced to the printed row
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (!keepRdds.contains(id)) r.unpersist(blocking = false)
+      }
     }
 
     confs.foreach { case (ef, rounds, deg, ents, aq, tl, tu) =>
