@@ -468,9 +468,12 @@ object HeldoutCurve {
         f"visited_pct=${100.0 * vis / nQs / n}%.4f seed_evals_per_q=$seedEvals%.1f sec=$sec%.1f")
       System.out.flush()
       // drop this run's transient checkpoint blocks (see keepRdds
-      // above); results are already reduced to the printed row
+      // above); results are already reduced to the printed row.
+      // blocking = true: async removal futures left in flight by the
+      // LAST run race spark.stop()'s pool shutdown and wedge the JVM
+      // (measured — the m14 resume hung after its final row)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
-        if (!keepRdds.contains(id)) r.unpersist(blocking = false)
+        if (!keepRdds.contains(id)) r.unpersist(blocking = true)
       }
     }
 
