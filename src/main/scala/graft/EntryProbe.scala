@@ -33,16 +33,15 @@ object EntryProbe {
     // and compute only the deeper steps. The eval sample derives from
     // c0 alone, so the merged ladder is bit-identical to a full run.
     val ladPath = new org.apache.hadoop.fs.Path(
-      graft.operators.ProjIndex.tablePath(dir, "entry_ladder"), "_SUCCESS")
+      graft.operators.ProjIndex.tablePath(dir,
+        queries.HnswQs3.entryLadderName(n)), "_SUCCESS")
     val fs = ladPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a persisted ladder may be DEEPER than this probe's maxMult
     // (ADVICE r14): truncate the loaded rows to the same bound
     // entryLadder itself enforces, so `EntryProbe <dir> <smallMult>`
     // actually probes at smallMult instead of silently reporting the
     // deeper persisted depths
-    val capCells = math.min(
-      math.min(Ivf.cellsFor(n).toLong * maxMult, Ivf.MaxCells.toLong),
-      n - 1)
+    val capCells = Ivf.entryCapCells(n, maxMult)
     val have: Seq[(Int, Double)] =
       (if (fs.exists(ladPath)) queries.HnswQs3.entryLadderTable(spark, dir)
        else Seq.empty).filter(_._1 <= capCells)

@@ -148,8 +148,11 @@ object Ivf {
     * Probe cost is build-time and bounded: each depth trains on the
     * standard `trainStrideFor` sample (≤128·cells rows) and the eval
     * sample is fixed at the shallowest depth's stride (≈128·cellsFor
-    * rows, depth-independent). The ladder caps at maxMult·cellsFor and
-    * `MaxCells`. Consumed by the catalog's routed-search anchors
+    * rows, depth-independent). The ladder caps at `entryCapCells` —
+    * max(maxMult·cellsFor, n/64) bounded by `MaxCells` and n−1 (the
+    * data-sized extension is round 15's m15 fix; the mult floor alone
+    * stopped a still-structural resolution at 4M). Consumed by the
+    * catalog's routed-search anchors
     * (HnswQs3.resolvedEntryCells — persisted ladder artifact, oracle
     * mirrored by SqlIvf.entryCtes) and the scale harnesses
     * (HeldoutCurve aq=-1, EntryProbe); the CELL substrate (cellKnn,
@@ -157,6 +160,38 @@ object Ivf {
     * cluster resolution, m7's design. */
   val EntryStructureRatio = 0.85
   val EntryMaxMult = 32
+
+  /** Memorization guard for the DATA-SIZED ladder extension: past
+    * cells/n ≈ 3% a trained quantizer memorizes its sample and every
+    * ratio reads "structural" regardless of structure (lesson 44), so
+    * the extension term is capped at n/EntryMemFracDen = 1.5625% of
+    * the corpus — a 2× margin under the bar. */
+  val EntryMemFracDen = 64L
+
+  /** Ladder depth cap, data-sized (round 15 — m15 measured
+    * EntryMaxMult BINDING for the first time: the 4M × 16,384-cluster
+    * corpus's resolver was stopped at c0·32 = exactly the cluster
+    * count with the final ratio still deeply structural (0.406), the
+    * past-cap 32,768 step measured 0.4385 = structural, and the
+    * aq=32,768 recall control quantifies the recall the cap was
+    * costing — docs/scale_run.md §m15).
+    *
+    * cap = min(max(c0·maxMult, n/EntryMemFracDen), MaxCells, n−1).
+    * The n/64 term extends the ladder only when it exceeds c0·maxMult
+    * — with c0 ≈ √n/4 that needs n ≳ 2048·c0 ≈ 262k, so every test-SF
+    * corpus, every spec corpus and the DuckDB oracle's static unroll
+    * (log2(EntryMaxMult) chains, SqlIvf.entryCtes) are bit-identical
+    * to the r11–r14 rule; at scale it reaches 32,768 at 4M (the m15
+    * control's depth) and clamps at MaxCells from ~4.2M up. The n/64
+    * ceiling keeps every extended step at cells/n ≤ 1.56%, inside the
+    * asymptotic regime the structural threshold targets (lesson 44's
+    * memorization bar is ~3%). */
+  def entryCapCells(n: Long, maxMult: Int = EntryMaxMult): Long =
+    math.min(
+      math.min(
+        math.max(cellsFor(n).toLong * maxMult, n / EntryMemFracDen),
+        MaxCells.toLong),
+      n - 1)
 
   /** Margin below the corpus's own ISOTROPIC per-doubling rate
     * (round 12 — VERDICT r11 "what's wrong" 2). "Structural" must
@@ -205,7 +240,7 @@ object Ivf {
     // stride derives from c0 alone, so later steps computed here are
     // bit-identical to what a full run would have produced
     val steps = Iterator.iterate(c0)(_ * 2)
-      .takeWhile(c => c <= c0.toLong * maxMult && c <= MaxCells && c < n)
+      .takeWhile(c => c.toLong <= entryCapCells(n, maxMult))
       .filter(_ > startAfterCells)
       .toSeq
     steps.map { cells =>

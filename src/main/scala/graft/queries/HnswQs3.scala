@@ -269,8 +269,22 @@ object HnswQs3 {
     * the base side, built once and loaded thereafter (the ladder is a
     * build-time corpus measurement, exactly the lesson-20 artifact
     * shape; EntryProbe is its standalone pre-flight form). */
+  /** Persisted-ladder artifact name: keyed by the cap ONLY when the
+    * round-15 data-sized extension binds (n ≳ 262k — never a test SF,
+    * so the historical "entry_ladder" name and every driver hash are
+    * untouched). A pre-extension persisted ladder must not silently
+    * serve a shallower resolution after the rule change (lesson 11). */
+  private[graft] def entryLadderName(n: Long): String = {
+    val cap = graft.operators.Ivf.entryCapCells(n)
+    val legacyCap = math.min(
+      math.min(graft.operators.Ivf.cellsFor(n).toLong *
+        graft.operators.Ivf.EntryMaxMult, graft.operators.Ivf.MaxCells.toLong),
+      n - 1)
+    if (cap == legacyCap) "entry_ladder" else s"entry_ladder_c$cap"
+  }
   private[graft] def entryLadderTable(s: SparkSession, dir: String): Seq[(Int, Double)] = {
-    val df = graft.operators.ProjIndex.ensureTable(s, dir, "entry_ladder") {
+    val n0 = Tables.baseCount(s, dir)
+    val df = graft.operators.ProjIndex.ensureTable(s, dir, entryLadderName(n0)) {
       val n = Tables.baseCount(s, dir)
       val emb = Tables.t(s, dir, "embeddings").filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id"), col("embedding"))

@@ -144,9 +144,15 @@ object SqlIvf {
     * validity bounds interpolate Ivf.EntryMaxMult / Ivf.MaxCells, so
     * a constant change in the Scala rule regenerates the mirror
     * rather than desynchronizing from it (r11 ADVICE 1); per-depth
-    * VALIDITY (cells ≤ maxMult·k, ≤ MaxCells, < n) is data-computed
-    * exactly like the Scala takeWhile, so corpora whose ladder cuts
-    * short gate rows off instead of changing the unroll. The
+    * VALIDITY (cells ≤ Ivf.entryCapCells's max(maxMult·k, n/64)
+    * data-sized cap, ≤ MaxCells, < n) is data-computed exactly like
+    * the Scala takeWhile, so corpora whose ladder cuts short gate
+    * rows off instead of changing the unroll. The n/64 extension term
+    * (round 15 — m15) can exceed maxMult·k only past n ≈ 2048·k ≈
+    * 262k rows, far above any oracle corpus, so the static
+    * log2(maxMult)-chain unroll covers every corpus the oracle runs
+    * on; adding deeper always-materialized chains for corpora DuckDB
+    * never sees would execute them on every gate run (lesson 54). The
     * structural threshold is DIMENSION-AWARE (round 12):
     * min(EntryStructureRatio, floor((2^(-2/d) − margin)·10⁴)/10⁴)
     * computed from len(v) — the 1e-4 quantization makes the pow term
@@ -198,7 +204,8 @@ object SqlIvf {
       $dRows,
       ${p}lv AS (SELECT cells, md FROM (
           $dUnion), ${bp}prm, ${bp}kk
-        WHERE cells <= $maxMult * k AND cells <= $maxCells AND cells < n),
+        WHERE cells <= GREATEST($maxMult * k, n // ${graft.operators.Ivf.EntryMemFracDen})
+          AND cells <= $maxCells AND cells < n),
       ${p}stp AS (SELECT cells, md, LAG(md) OVER (ORDER BY cells) AS pmd FROM ${p}lv),
       ${p}aq AS MATERIALIZED (SELECT COALESCE(
           MAX(CASE WHEN pmd IS NOT NULL AND md < pmd * (SELECT thr FROM ${p}thr) THEN cells END),

@@ -74,6 +74,37 @@ class EntryResolveSpec extends AnyFunSuite with SharedSpark {
       s"ladder no longer discriminates the rules — rebuild the fixture; ladder=$lad")
   }
 
+  // ---- data-sized ladder cap (round 15 — m15 measured EntryMaxMult
+  // binding a still-structural resolution at 4M; the n/64 extension
+  // must bind ONLY past ~262k rows so every test-SF ladder, artifact
+  // name and driver hash stays bit-identical) ----
+
+  test("entryCapCells: legacy cap at every sub-262k corpus, extension at scale") {
+    // spec/test corpora: extension term far below the mult cap
+    assert(Ivf.entryCapCells(8000L) == 1024L)          // c0=32 → 32·32; n/64=125
+    assert(Ivf.entryCapCells(490L) == 489L)            // n−1 binds (sf0.001)
+    assert(Ivf.entryCapCells(50000L) == 2048L)         // c0=64 → 64·32; n/64=781
+    // boundary: at n = 2048·c0 the terms coincide — still the legacy name
+    assert(Ivf.entryCapCells(262144L) == 4096L)
+    // m15's regime: the extension reaches the measured-structural 32,768
+    assert(Ivf.entryCapCells(4000000L) == 62500L)
+    assert(Iterator.iterate(Ivf.cellsFor(4000000L))(_ * 2)
+      .takeWhile(_.toLong <= Ivf.entryCapCells(4000000L)).toSeq.lastOption
+      .contains(32768), "4M ladder must include the 32,768 step")
+    // 10M: MaxCells clamps (n/64 = 156,250)
+    assert(Ivf.entryCapCells(10000000L) == Ivf.MaxCells.toLong)
+    // the probe's maxMult knob still extends past the data-sized cap
+    assert(Ivf.entryCapCells(4000000L, 256) == Ivf.MaxCells.toLong)
+  }
+
+  test("persisted-ladder artifact name changes only when the extension binds") {
+    assert(queries.HnswQs3.entryLadderName(8000L) == "entry_ladder")
+    assert(queries.HnswQs3.entryLadderName(490L) == "entry_ladder")
+    assert(queries.HnswQs3.entryLadderName(262144L) == "entry_ladder")
+    assert(queries.HnswQs3.entryLadderName(4000000L) == "entry_ladder_c62500")
+    assert(queries.HnswQs3.entryLadderName(10000000L) == "entry_ladder_c65536")
+  }
+
   test("resolution is partitioning-invariant") {
     val e = emb(512, seed = 77L)
     val a = Ivf.entryLadder(e.repartition(3), n)
