@@ -26,6 +26,17 @@ object ProjIndex {
     * matches but stride > 1. */
   private val Version = "v3"
 
+  /** In-JVM per-path build locks (round 15): catalog queries now run
+    * independent sub-chains from a driver thread pool (guide §2.6), so
+    * two threads can miss the same cold artifact simultaneously;
+    * without a lock both would run the build and race the parquet
+    * write. Same-path builds serialize (the second thread re-checks
+    * _SUCCESS and loads); distinct paths stay concurrent. Cross-JVM
+    * behavior is unchanged (the _SUCCESS guard, as before). */
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def locked[T](p: String)(body: => T): T =
+    buildLocks.computeIfAbsent(p, _ => new Object).synchronized(body)
+
   def graphPath(dir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index")
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -39,7 +50,9 @@ object ProjIndex {
     val hp = new Path(p)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     // _SUCCESS guards against a partially-written artifact being loaded
-    if (!fs.exists(new Path(hp, "_SUCCESS"))) IndexStore.saveGraph(build, p)
+    locked(p) {
+      if (!fs.exists(new Path(hp, "_SUCCESS"))) IndexStore.saveGraph(build, p)
+    }
     IndexStore.loadGraph(s, p)
   }
 
@@ -61,9 +74,11 @@ object ProjIndex {
     // guard on the LAST artifact saveIvf writes (cells after centroids):
     // a crash between the two writes must re-trigger the build, not
     // wedge every later run on a half-saved index
-    if (!fs.exists(new Path(hp, "cells/_SUCCESS"))) {
-      val (cents, assigned) = build
-      IndexStore.saveIvf(cents, assigned, p)
+    locked(p) {
+      if (!fs.exists(new Path(hp, "cells/_SUCCESS"))) {
+        val (cents, assigned) = build
+        IndexStore.saveIvf(cents, assigned, p)
+      }
     }
     IndexStore.loadIvf(s, p)
   }
@@ -86,8 +101,10 @@ object ProjIndex {
     val p = tablePath(dir, tag)
     val hp = new Path(p)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(hp, "_SUCCESS")))
-      build.write.mode("overwrite").parquet(p)
+    locked(p) {
+      if (!fs.exists(new Path(hp, "_SUCCESS")))
+        build.write.mode("overwrite").parquet(p)
+    }
     s.read.parquet(p)
   }
 
@@ -105,10 +122,12 @@ object ProjIndex {
     val hp = new Path(p)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     // guard on codes/_SUCCESS — the LAST write (see ensureIvf)
-    if (!fs.exists(new Path(hp, "codes/_SUCCESS"))) {
-      val (cents, codes) = build
-      cents.coalesce(1).write.mode("overwrite").parquet(s"$p/cents")
-      codes.write.mode("overwrite").parquet(s"$p/codes")
+    locked(p) {
+      if (!fs.exists(new Path(hp, "codes/_SUCCESS"))) {
+        val (cents, codes) = build
+        cents.coalesce(1).write.mode("overwrite").parquet(s"$p/cents")
+        codes.write.mode("overwrite").parquet(s"$p/codes")
+      }
     }
     (s.read.parquet(s"$p/cents"), s.read.parquet(s"$p/codes"))
   }

@@ -70,15 +70,36 @@ final class TopKAgg(k: Int, asc: Boolean)
   }
   override def finish(p: Pool): Seq[Scored] =
     (0 until p.size).map(i => Scored(p.scores(i), p.ids(i)))
-  override def bufferEncoder: Encoder[Pool] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[Pool] = TopKAgg.poolEnc
+  override def outputEncoder: Encoder[Seq[Scored]] = TopKAgg.seqEnc
+}
+
+object TopKAgg {
+  /** Encoders are pure schema derivations — one reflection pass each,
+    * shared by every TopKAgg instance (round 15: bufferEncoder/
+    * outputEncoder are called during PLANNING of every aggregation, so
+    * per-instance ExpressionEncoder() re-derivation was a driver-side
+    * tax on all ~50 top-k call sites, several of them inside per-round
+    * search loops). */
+  private[operators] val poolEnc: Encoder[Pool] = ExpressionEncoder()
+  private[operators] val seqEnc: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
 
 object TopK {
 
+  /** udaf wrappers memoized per (k, asc): the TopKAgg instance is
+    * stateless (k, asc only) and UserDefinedFunction application just
+    * wraps it in a fresh Column expression, so one registered wrapper
+    * serves every call site and every thread (round 15 — driver-side
+    * plan-build cost, output-invariant). */
+  private val udafCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Boolean),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** Column function: top-k of (score, id) pairs per group. */
   def topkAgg(k: Int, asc: Boolean): (Column, Column) => Column = {
-    val u = udaf(new TopKAgg(k, asc), Encoders.product[Scored])
+    val u = udafCache.computeIfAbsent((k, asc),
+      _ => udaf(new TopKAgg(k, asc), Encoders.product[Scored]))
     (score, id) => u(score, id)
   }
 

@@ -169,28 +169,38 @@ object HnswQs {
   val multiEntrySearch = Q(
     "graph_multi_entry_search",
     (s, dir) => {
-      val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
-          VectorQs2.roarProjectionGraph.fn(s, dir)
-        }
-        .select(col("src"), col("dst")).localCheckpoint()
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val (cents, _) = anchorIvf(s, dir)
-      // anchor node per centroid = nearest base vector
-      val anchors = BruteForce.topk(
-        base,
-        cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
-        "l2", 1)
-        .select(col("bid")).distinct()
-      // per-query: rank anchors by distance, take 3 as seeds
-      val seeds = TopK.perGroup(
-        queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
-          .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", 3, asc = true)
-        .select(col("qid"), col("bid"))
+      // round 15 (guide §2.6): graph load and anchor-seed ranking are
+      // independent until the beam — forked.
+      val (edges, seeds) = graft.operators.Par.withPool { pp =>
+        val edgesF = pp.fork {
+          graft.operators.ProjIndex.ensureGraph(s, dir) {
+              VectorQs2.roarProjectionGraph.fn(s, dir)
+            }
+            .select(col("src"), col("dst")).localCheckpoint()
+        }
+        val seedsF = pp.fork {
+          val (cents, _) = anchorIvf(s, dir)
+          // anchor node per centroid = nearest base vector
+          val anchors = BruteForce.topk(
+            base,
+            cents.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+            "l2", 1)
+            .select(col("bid")).distinct()
+          // per-query: rank anchors by distance, take 3 as seeds
+          TopK.perGroup(
+            queries.crossJoin(broadcast(anchors.join(base, Seq("bid"))))
+              .select(col("qid"), col("bid"), Vec.l2Fast(col("qv"), col("bv")).as("d")),
+            "qid", "bid", "d", 3, asc = true)
+            .select(col("qid"), col("bid"))
+            .localCheckpoint()
+        }
+        (edgesF(), seedsF())
+      }
       BeamSearch.runFromSeeds(edges, queries, base, seeds, ef = 10, rounds = 3)
         .orderBy(col("qid"), col("rnk"))
     },
@@ -259,27 +269,111 @@ object HnswQs {
       val (cents, base) = sweepIvf(s, dir)
       val q2 = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // depth pinned at 10: every sweep search emits top-10, so the
-      // recall denominator must be 10 gt rows per query regardless of
-      // the SPARK_GRAFT_GT_K env knob (which only gt_topk_* honors)
-      val gt = sweepGt(s, dir, "l2").localCheckpoint()
-      val nGt = gt.count().toDouble
-      val nQ = q2.count().toDouble
+      val baseBv = baseRaw.select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      // round 15 (guide §2.6): the sweep is ~60 driver-sequential
+      // actions of tiny per-action work (measured 378 jobs, 346 of them
+      // ≤50 ms, ~8 s of driver gaps at 32 idle cores). Its phases are
+      // independent chains — shared prerequisites (GT/index artifact
+      // loads, the scored-candidate pass, anchor banks), then nine
+      // per-family row computations — so both tiers run as forked
+      // chains on a bounded driver pool (operators.Par). Every
+      // deterministic output column is bit-identical to sequential
+      // execution (each chain's computation is untouched; shared inputs
+      // are materialized before the fork); only wall_ms/qps — the
+      // catalog's two documented nondeterministic columns — observe the
+      // overlap.
+      graft.operators.Par.withPool { pp =>
+      val gtF = pp.fork {
+        // depth pinned at 10: every sweep search emits top-10, so the
+        // recall denominator must be 10 gt rows per query regardless of
+        // the SPARK_GRAFT_GT_K env knob (which only gt_topk_* honors)
+        val g = sweepGt(s, dir, "l2").localCheckpoint()
+        (g, g.count().toDouble)
+      }
+      val gtIpF = pp.fork {
+        val g = sweepGt(s, dir, "ip").localCheckpoint()
+        (g, g.count().toDouble)
+      }
+      val gtL2DF = pp.fork { sweepGtDrifted(s, dir, "l2").localCheckpoint() }
+      val q2dF = pp.fork {
+        graft.operators.QueryDrift.dNN(
+            q2, graft.operators.QueryDrift.sigmaOf(SweepDriftTag))
+          .localCheckpoint()
+      }
+      val countsF = pp.fork { (q2.count().toDouble, cents.count().toDouble) }
       // score candidates ONCE with the cell's probe rank AND cell id
       // attached, then each sweep point (fixed nprobe, adaptive) is a
       // filter + top-k over the same scored rows
       val maxProbe = 12
-      val ranked = TopK.perGroup(
-        q2.crossJoin(broadcast(cents))
-          .select(col("qid").as("g"), col("cid"),
-            graft.functions.Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
-        "g", "cid", "d2", maxProbe, asc = true)
-        .select(col("g").as("qid"), col("cid"), col("rnk").as("cell_rnk"), col("d2"))
-        .localCheckpoint()
-      val cand = base.join(ranked.join(q2, Seq("qid")), Seq("cid"))
-        .select(col("qid"), col("cid"), col("vec_id").as("bid"), col("cell_rnk"),
-          graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
-        .localCheckpoint()
+      val rankedCandF = pp.fork {
+        val ranked = TopK.perGroup(
+          q2.crossJoin(broadcast(cents))
+            .select(col("qid").as("g"), col("cid"),
+              graft.functions.Vec.l2sqFast(col("qv"), col("cv")).as("d2")),
+          "g", "cid", "d2", maxProbe, asc = true)
+          .select(col("g").as("qid"), col("cid"), col("rnk").as("cell_rnk"), col("d2"))
+          .localCheckpoint()
+        val cand = base.join(ranked.join(q2, Seq("qid")), Seq("cid"))
+          .select(col("qid"), col("cid"), col("vec_id").as("bid"), col("cell_rnk"),
+            graft.functions.Vec.l2Fast(col("qv"), col("embedding")).as("dist"))
+          .localCheckpoint()
+        (ranked, cand)
+      }
+      val edgesF = pp.fork {
+        val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
+            VectorQs2.roarProjectionGraph.fn(s, dir)
+          }
+          .select(col("src"), col("dst")).localCheckpoint()
+        val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("src")).head().getLong(0)
+        (edges, entry)
+      }
+      val anchorsF = pp.fork {
+        val (cents8, _) = anchorIvf(s, dir)
+        // entry_cells/seed_evals for the multi/wide families read from
+        // the LOADED anchor quantizer (realized cell count / distinct
+        // anchor-node bank), not a literal 8 — a quantizer size change
+        // can no longer serve a stale sweep label (ADVICE r12 2)
+        val anchorCells = cents8.count().toInt
+        val anchorNodes = BruteForce.topk(
+          baseBv,
+          cents8.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
+          "l2", 1)
+          .select(col("bid")).distinct().localCheckpoint()
+        val anchorBankN = anchorNodes.count().toDouble
+        val anchorRanked = TopK.perGroup(
+          q2.crossJoin(broadcast(anchorNodes.join(baseBv, Seq("bid"))))
+            .select(col("qid"), col("bid"), graft.functions.Vec.l2Fast(col("qv"), col("bv")).as("d")),
+          "qid", "bid", "d", 7, asc = true)
+          .select(col("qid"), col("bid"), col("rnk")).localCheckpoint()
+        (anchorCells, anchorNodes, anchorBankN, anchorRanked)
+      }
+      val richF = pp.fork {
+        // the RICH projection graph (richGraph: k=48 lists, M=16, stored
+        // degree 48) is the high-recall index — loaded persisted; erk
+        // lets each sweep family pick its traversal degree from the one
+        // artifact
+        val rich = richGraph(s, dir).localCheckpoint()
+        val richEntry = rich.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("src")).head().getLong(0)
+        val multiEdges = rich.filter(col("erk") <= 16)
+          .select(col("src"), col("dst")).localCheckpoint()
+        val wideEdges = rich.filter(col("erk") <= 32).select(col("src"), col("dst"))
+          .union(bridgePairs(s, dir).select(col("src"), col("dst")))
+          .localCheckpoint()
+        (richEntry, multiEdges, wideEdges)
+      }
+      // join the whole shared tier on the main thread before any family
+      // forks — no fork may wait on a still-queued fork (Par contract)
+      val (gt, nGt) = gtF()
+      val (gtIp, nGtIp) = gtIpF()
+      val gtL2D = gtL2DF()
+      val q2d = q2dF()
+      val (nQ, nCents) = countsF()
+      val (ranked, cand) = rankedCandF()
+      val (edges, entry) = edgesF()
+      val (anchorCells, anchorNodes, anchorBankN, anchorRanked) = anchorsF()
+      val (richEntry, multiEdges, wideEdges) = richF()
       // all 5 fixed-nprobe points in ONE pass: each candidate joins the
       // np groups that include it (np >= its probe rank), one bounded
       // top-k over (qid, np), one hits aggregation — recall and
@@ -292,6 +386,7 @@ object HnswQs {
       // a point at or above the base would silently collide two points
       // into one group key (advice r9)
       require(nps.max < 16, s"np tag overflows base 16: ${nps.max}")
+      val ivfRowsF = pp.fork {
       val ivfT0 = System.nanoTime()
       val npArr = array(nps.map(lit): _*)
       val topNp = TopK.perGroup(
@@ -320,15 +415,15 @@ object HnswQs {
       // routed row (read from its counted artifact). The round-12
       // audit measured this invisible term at 84% of routed query
       // cost; now it's a sweep column instead of a harness log line.
-      val nCents = cents.count().toDouble
-      val ivfRows = nps.map { np =>
+      nps.map { np =>
         val visited = (1 to np).map(r => cntByRnk.getOrElse(r, 0L)).sum / nQ
         ("ivf", np, hitsByNp.getOrElse(np, 0L) / nGt, visited, 0, ivfWallMs,
           nQ / (ivfWallMs / 1000.0), nps.size, 0, nCents)
       }
+      }
       // adaptive point (ivf_search_adaptive's rule over the same scored
       // candidates): param = α×100
-      val adaptRows = Seq(1.08).map { alpha =>
+      val adaptRowsF = pp.fork { Seq(1.08).map { alpha =>
         val t0 = System.nanoTime()
         val d2min = ranked.filter(col("cell_rnk") === 1)
           .select(col("qid"), col("d2").as("d2min"))
@@ -343,20 +438,14 @@ object HnswQs {
         val visited = probedCand.count() / nQ
         ("adaptive", (alpha * 100).round.toInt, hits / nGt, visited, 0, wallMs,
           nQ / (wallMs / 1000.0), 1, 0, nCents)
-      }
-      val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
-          VectorQs2.roarProjectionGraph.fn(s, dir)
-        }
-        .select(col("src"), col("dst")).localCheckpoint()
-      val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .orderBy(col("d").desc, col("src")).head().getLong(0)
-      val baseBv = baseRaw.select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      } }
+      val beamRowsF = pp.fork {
       val seeds = q2.select(col("qid")).withColumn("bid", lit(entry))
       // ONE staged search: the beam after round r is the rounds=r
       // result, so the sweep costs 3 rounds, not 1+2+3; the stage clock
       // (cumulative through round r) comes from inside the search
       val staged = BeamSearch.runStaged(edges, q2, baseBv, seeds, ef = 10, maxRounds = 3)
-      val beamRows = staged.zipWithIndex.map { case ((res, visitedTotal, nanos), i) =>
+      staged.zipWithIndex.map { case ((res, visitedTotal, nanos), i) =>
         val rounds = i + 1
         val top = res.select(col("qid"), col("bid")).localCheckpoint()
         val wallMs = nanos / 1e6
@@ -364,49 +453,22 @@ object HnswQs {
         ("beam", rounds, hits / nGt, visitedTotal / nQ, rounds, wallMs,
           nQ / (wallMs / 1000.0), 1, 0, 0.0)
       }
-      // entry-point-count sweep (plot_entry_points_comparison.py /
-      // hnsw_with_bridges_optimized.py:137-274): same graph, ef and
-      // rounds as the single-entry beam rows; entry set = the default
-      // max-degree hub plus the query's (n-1) nearest anchor nodes
+      }
+      // entry-point-count sweep on the rich graph
+      // (plot_entry_points_comparison.py / hnsw_with_bridges_optimized
+      // .py:137-274 — runs 1..8 entries): same graph, ef and rounds as
+      // the single-entry beam rows; entry set = the default max-degree
+      // hub plus the query's (n-1) nearest anchor nodes
       // (graph_multi_entry_search's machinery) — param = n_entries, so
       // n=1 IS the single-entry baseline and the delta isolates what
-      // additional entries buy at equal beam budget
-      val (cents8, _) = anchorIvf(s, dir)
-      // entry_cells/seed_evals for the multi/wide families read from
-      // the LOADED anchor quantizer (realized cell count / distinct
-      // anchor-node bank), not a literal 8 — a quantizer size change
-      // can no longer serve a stale sweep label (ADVICE r12 2)
-      val anchorCells = cents8.count().toInt
-      val anchorNodes = BruteForce.topk(
-        baseBv,
-        cents8.select(col("cid").as("qid"), col("cv").cast("array<float>").as("qv")),
-        "l2", 1)
-        .select(col("bid")).distinct().localCheckpoint()
-      val anchorBankN = anchorNodes.count().toDouble
-      val anchorRanked = TopK.perGroup(
-        q2.crossJoin(broadcast(anchorNodes.join(baseBv, Seq("bid"))))
-          .select(col("qid"), col("bid"), graft.functions.Vec.l2Fast(col("qv"), col("bv")).as("d")),
-        "qid", "bid", "d", 7, asc = true)
-        .select(col("qid"), col("bid"), col("rnk")).localCheckpoint()
-      // the RICH projection graph (richGraph: k=48 lists, M=16, stored
-      // degree 48) is the high-recall index — loaded persisted; erk
-      // lets each sweep family pick its traversal degree from the one
-      // artifact
-      val rich = richGraph(s, dir).localCheckpoint()
-      val richEntry = rich.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .orderBy(col("d").desc, col("src")).head().getLong(0)
-      // entry-point-count sweep on the rich graph
-      // (plot_entry_points_comparison.py runs 1..8 entries): entry set =
-      // max-degree hub + the query's (n-1) nearest anchor nodes; n=1 IS
-      // the single-entry baseline, so the curve isolates what entries buy
-      val multiEdges = rich.filter(col("erk") <= 16)
-        .select(col("src"), col("dst")).localCheckpoint()
+      // additional entries buy at equal beam budget.
       // the 4 entry-count points share (graph, ef, rounds, metric), so
       // they ride ONE batched search (qid tagged with the point's n;
       // per-tag results and visited ledgers are bit-identical to the
       // separate runs — BeamBatchSpec) and share its wall clock
       val multiNs = Seq(1, 2, 4, 8)
       require(multiNs.max < 16, s"multi tag overflows base 16: ${multiNs.max}")
+      val multiRowsF = pp.fork {
       val multiT0 = System.nanoTime()
       val qMulti = multiNs.map(n =>
           q2.select((col("qid") * 16 + n).as("qid"), col("qv")))
@@ -427,26 +489,25 @@ object HnswQs {
       val hitsMulti = topMulti.join(gt, Seq("qid", "bid"))
         .groupBy(col("tag")).count().collect()
         .map(r => r.getAs[Int]("tag") -> r.getAs[Long]("count")).toMap
-      val multiRows = multiNs.map { n =>
+      multiNs.map { n =>
         // the n = 1 point seeds from the hub alone — no anchor scan
         ("multi", n, hitsMulti.getOrElse(n, 0L) / nGt, visMulti.getOrElse(n, 0L) / nQ,
           3, multiWallMs, nQ / (multiWallMs / 1000.0), multiNs.size, anchorCells,
           if (n == 1) 0.0 else anchorBankN)
+      }
       }
       // high-recall operating point (the reference operates graph search
       // at recall 0.69-0.99, README_RoarGraph.md:56-112): rich graph at
       // traversal degree 32 + PERSISTED bridge edges + 3 anchor entries
       // + a wide beam — param = ef. Everything inside the timed region
       // is search: both edge tables load from artifacts.
-      val wideEdges = rich.filter(col("erk") <= 32).select(col("src"), col("dst"))
-        .union(bridgePairs(s, dir).select(col("src"), col("dst")))
-        .localCheckpoint()
       // the two wide points differ ONLY in ef, which the batched search
       // expresses per query (tag = the point's ef; the maxEf pool
       // rank-filtered to the tag's ef is exactly the narrower beam) —
       // one 5-round search instead of two, shared wall clock
       val wideEfs = Seq(16, 32)
       require(wideEfs.max < 64, s"wide tag overflows base 64: ${wideEfs.max}")
+      val wideRowsF = pp.fork {
       val wideT0 = System.nanoTime()
       val qWide = wideEfs.map(e =>
           q2.select((col("qid") * 64 + e).as("qid"), col("qv")))
@@ -467,10 +528,11 @@ object HnswQs {
       val hitsWide = topWide.join(gt, Seq("qid", "bid"))
         .groupBy(col("tag")).count().collect()
         .map(r => r.getAs[Int]("tag") -> r.getAs[Long]("count")).toMap
-      val wideRows = wideEfs.map { wideEf =>
+      wideEfs.map { wideEf =>
         ("wide", wideEf, hitsWide.getOrElse(wideEf, 0L) / nGt,
           visWide.getOrElse(wideEf, 0L) / nQ, 5, wideWallMs,
           nQ / (wideWallMs / 1000.0), wideEfs.size, anchorCells, anchorBankN)
+      }
       }
       // routed operating point on the reference's HEADLINE metric —
       // inner product after normalization (README_RoarGraph.md:45-47):
@@ -483,8 +545,6 @@ object HnswQs {
       // pass (r9 verdict item 4). recall/avg_visited are bit-identical
       // to the live run (deterministic search); wall_ms/qps are the
       // wall of the artifact's one build-time execution.
-      val gtIp = sweepGt(s, dir, "ip").localCheckpoint()
-      val nGtIp = gtIp.count().toDouble
       // entry_cells (round 12): the entry-quantizer depth behind each
       // row's seeds — 0 for families without one, 8 for the fixed
       // anchor quantizer (multi/wide), the RESOLVED ladder depth for
@@ -519,8 +579,8 @@ object HnswQs {
           routedRounds, wallMs, nQ / (wallMs / 1000.0), 1,
           HnswQs3.resolvedEntryCells(s, dir), seedEvalsTotal / nQ)
       }
-      val routedRows = routedRowsFor("indist")
-      val routedDriftRows = routedRowsFor(SweepDriftTag)
+      val routedRowsF = pp.fork { routedRowsFor("indist") }
+      val routedDriftRowsF = pp.fork { routedRowsFor(SweepDriftTag) }
       // drifted rows for the NON-routed families (round 15 — the
       // reference's whole comparison is method-vs-method under OOD
       // queries, hnsw_methods_comparison.ipynb): the ivf np=12 and
@@ -530,13 +590,10 @@ object HnswQs {
       // the in-dist GTs). The sweep now reads method × eval_dist —
       // which family degrades least under drift, not just the routed
       // point's robustness in isolation.
-      val q2d = graft.operators.QueryDrift.dNN(
-          q2, graft.operators.QueryDrift.sigmaOf(SweepDriftTag))
-        .localCheckpoint()
-      val gtL2D = sweepGtDrifted(s, dir, "l2").localCheckpoint()
       // ivf np=12 under drift: rank cells for the drifted queries,
       // score the probed candidates, top-10 — the exact per-point
       // shape the batched in-dist pass is equivalent to
+      val ivfDriftRowsF = pp.fork {
       val ivfDT0 = System.nanoTime()
       val rankedD = TopK.perGroup(
         q2d.crossJoin(broadcast(cents))
@@ -553,11 +610,13 @@ object HnswQs {
       val ivfDHits = topIvfD.join(gtL2D, Seq("qid", "bid")).count()
       val ivfDVisited = candD.count() / nQ
       val ivfDWallMs = (System.nanoTime() - ivfDT0) / 1e6
-      val ivfDriftRows = Seq(
+      Seq(
         ("ivf", maxProbe, ivfDHits / nGt, ivfDVisited, 0, ivfDWallMs,
           nQ / (ivfDWallMs / 1000.0), 1, 0, nCents))
+      }
       // multi n=8 under drift: hub + the drifted query's 7 nearest
       // anchors seed the same rich-graph beam (ef 10 × 3 rounds)
+      val multiDriftRowsF = pp.fork {
       val multiDT0 = System.nanoTime()
       val anchorRankedD = TopK.perGroup(
         q2d.crossJoin(broadcast(anchorNodes.join(baseBv, Seq("bid"))))
@@ -572,9 +631,21 @@ object HnswQs {
       val topMD = resMD.select(col("qid"), col("bid")).localCheckpoint()
       val multiDHits = topMD.join(gtL2D, Seq("qid", "bid")).count()
       val multiDWallMs = (System.nanoTime() - multiDT0) / 1e6
-      val multiDriftRows = Seq(
+      Seq(
         ("multi", 8, multiDHits / nGt, visMD / nQ, 3, multiDWallMs,
           nQ / (multiDWallMs / 1000.0), 1, anchorCells, anchorBankN))
+      }
+      // join every family in the sequential order of record; row
+      // assembly and ordering are unchanged
+      val ivfRows = ivfRowsF()
+      val adaptRows = adaptRowsF()
+      val beamRows = beamRowsF()
+      val multiRows = multiRowsF()
+      val wideRows = wideRowsF()
+      val routedRows = routedRowsF()
+      val routedDriftRows = routedDriftRowsF()
+      val ivfDriftRows = ivfDriftRowsF()
+      val multiDriftRows = multiDriftRowsF()
       val cols = Seq("method", "param", "recall", "avg_visited", "hops",
         "wall_ms", "qps", "batch_n", "entry_cells", "seed_evals")
       val indistDf =
@@ -585,6 +656,7 @@ object HnswQs {
         .withColumn("eval_dist", lit(SweepDriftTag))
       indistDf.union(driftDf)
         .orderBy(col("method"), col("eval_dist"), col("param"))
+      }
     },
     None)
 

@@ -36,22 +36,36 @@ object HnswQs2 {
   val beamStepsToTarget = Q(
     "beam_steps_to_target",
     (s, dir) => {
-      val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
-          VectorQs2.roarProjectionGraph.fn(s, dir)
-        }
-        .select(col("src"), col("dst")).localCheckpoint()
       val emb = Tables.t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .orderBy(col("d").desc, col("src")).head().getLong(0)
-      val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-      val (beams, candFirst) = BeamSearch.runTrace(edges, queries, base, seeds, Ef, Rounds)
-      // the true NN per query (gt_topk_l2's rank-1 row, same tie-break)
-      val gt1 = VectorQs.gtTopk(s, dir, "l2", 1).filter(col("rnk") === 1)
-        .select(col("qid"), col("bid").as("target"))
+      // round 15 (guide §2.6): the trace chain (graph load → entry →
+      // per-round beam snapshots) and the exact-GT chain (a brute
+      // |Q|·|B| scan) are independent until the found-round join —
+      // forked. gt1 also gains the lesson-8 boundary it was missing:
+      // it is referenced twice below (foundRounds join + st join) and
+      // re-ran the brute scan once per reference.
+      val (beams, candFirst, gt1) = graft.operators.Par.withPool { pp =>
+        val traceF = pp.fork {
+          val edges = graft.operators.ProjIndex.ensureGraph(s, dir) {
+              VectorQs2.roarProjectionGraph.fn(s, dir)
+            }
+            .select(col("src"), col("dst")).localCheckpoint()
+          val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .orderBy(col("d").desc, col("src")).head().getLong(0)
+          val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
+          BeamSearch.runTrace(edges, queries, base, seeds, Ef, Rounds)
+        }
+        // the true NN per query (gt_topk_l2's rank-1 row, same tie-break)
+        val gt1F = pp.fork {
+          VectorQs.gtTopk(s, dir, "l2", 1).filter(col("rnk") === 1)
+            .select(col("qid"), col("bid").as("target")).localCheckpoint()
+        }
+        val (b, cf) = traceF()
+        (b, cf, gt1F())
+      }
       // first round (0 = seed snapshot) whose top-ef beam contains the
       // target — renaming bid→target makes the gt1 join unambiguous
       val foundRounds = beams.zipWithIndex.map { case (b, r) =>
@@ -296,7 +310,13 @@ object HnswQs2 {
         }
       }.toDF("lvl_rk", "rk", "dst").localCheckpoint()
       sortedIdLvl.unpersist(blocking = false)
-      val out = (0 to HnswQs.MaxLevel).map { l =>
+      // round 15 (guide §2.6): the per-level chains are mutually
+      // independent after rankAll/g0 (both materialized above) — each
+      // is its own sequence of bounded refinement rounds — so the
+      // levels run as forked chains; the union in level order and
+      // every per-level computation are unchanged (bit-identical).
+      val out = graft.operators.Par.withPool { pp =>
+        (0 to HnswQs.MaxLevel).map { l => pp.fork {
         val nodes = emb.filter(col("lvl") >= l)
           .select(col("vec_id").as("bid"), col("embedding").as("bv"))
         val ids = nodes.select(col("bid"))
@@ -337,6 +357,8 @@ object HnswQs2 {
         }
         keep(cur.select(col("src"), col("dst"), col("dist")), K)
           .select(lit(l).as("level"), col("src"), col("rnk"), col("dst"), col("dist"))
+          .localCheckpoint()
+        } }.map(_())
       }.reduce(_.union(_))
         .orderBy(col("level"), col("src"), col("rnk"))
       out

@@ -710,7 +710,6 @@ object HnswQs3 {
   private[graft] def routedSearchCounted(s: SparkSession, dir: String,
       metric: String, driftSigma: Double = 0.0): (DataFrame, Long, Long) = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
-    val edges = routedEdges(s, dir, metric).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id").as("bid"), col("embedding").as("bv"))
@@ -724,21 +723,38 @@ object HnswQs3 {
     val queries = if (driftSigma > 0.0)
       graft.operators.QueryDrift.dNN(queriesIn, driftSigma).localCheckpoint()
     else queriesIn
-    val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("src")).head().getLong(0)
     val ss = graft.operators.SeedSelect
-    val (coarse, aCells, _, tl) = seedLevels(s, dir, base, metric)
-    val cand = ss.twoLevelScored(queries, coarse, aCells, tl, metric)
-      .localCheckpoint()
-    val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-      .union(ss.pick(cand, ents))
-      .distinct()
-    // total seed-selection distance evals: every query scans the
-    // REALIZED coarse centroids (≤ cc — ADVICE r12 4) plus its top-tl
-    // cells' anchors; this is the 84%-of-query-cost term the sweep's
-    // seed_evals column makes visible (plan-audit rule: count distance
-    // evals, not just beam visited)
-    val seedEvals = queries.count() * coarse.count() + cand.count()
+    // round 15 (guide §2.6): edge assembly (rich+cellKnn loads →
+    // checkpoint → max-degree entry) and seed selection (ladder
+    // resolution → anchor bank → two-level scoring) are independent
+    // chains until the beam — forked; every value is computed exactly
+    // as before.
+    val (edges, seeds, seedEvals) = graft.operators.Par.withPool { pp =>
+      val edgesF = pp.fork {
+        val e = routedEdges(s, dir, metric).localCheckpoint()
+        val ent = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("src")).head().getLong(0)
+        (e, ent)
+      }
+      val seedF = pp.fork {
+        val (coarse, aCells, _, tl) = seedLevels(s, dir, base, metric)
+        val cand = ss.twoLevelScored(queries, coarse, aCells, tl, metric)
+          .localCheckpoint()
+        // total seed-selection distance evals: every query scans the
+        // REALIZED coarse centroids (≤ cc — ADVICE r12 4) plus its
+        // top-tl cells' anchors; this is the 84%-of-query-cost term the
+        // sweep's seed_evals column makes visible (plan-audit rule:
+        // count distance evals, not just beam visited)
+        val se = queries.count() * coarse.count() + cand.count()
+        (cand, se)
+      }
+      val (e, ent) = edgesF()
+      val (cand, se) = seedF()
+      val sd = queries.select(col("qid")).withColumn("bid", lit(ent))
+        .union(ss.pick(cand, ents))
+        .distinct()
+      (e, sd, se)
+    }
     val (res, visited) = BeamSearch.runFromSeedsCounted(
       edges, queries, base, seeds, ef, rounds, metric)
     (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited, seedEvals)
@@ -787,20 +803,32 @@ object HnswQs3 {
 
   private def routedSearch(s: SparkSession, dir: String, metric: String): DataFrame = {
     val (ef, rounds, ents) = routedKnobsFor(s, dir)
-    val edges = routedEdges(s, dir, metric).localCheckpoint()
     val emb = Tables.t(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id").as("bid"), col("embedding").as("bv"))
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("src")).head().getLong(0)
     val ss = graft.operators.SeedSelect
-    val (coarse, aCells, _, tl) = seedLevels(s, dir, base, metric)
-    val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-      .union(ss.pick(
-        ss.twoLevelScored(queries, coarse, aCells, tl, metric), ents))
-      .distinct()
+    // round 15 (guide §2.6): same fork split as routedSearchCounted —
+    // edge assembly ∥ seed selection, joined before the beam.
+    val (edges, seeds) = graft.operators.Par.withPool { pp =>
+      val edgesF = pp.fork {
+        val e = routedEdges(s, dir, metric).localCheckpoint()
+        val ent = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("src")).head().getLong(0)
+        (e, ent)
+      }
+      val pickF = pp.fork {
+        val (coarse, aCells, _, tl) = seedLevels(s, dir, base, metric)
+        ss.pick(ss.twoLevelScored(queries, coarse, aCells, tl, metric), ents)
+          .localCheckpoint()
+      }
+      val (e, ent) = edgesF()
+      val sd = queries.select(col("qid")).withColumn("bid", lit(ent))
+        .union(pickF())
+        .distinct()
+      (e, sd)
+    }
     BeamSearch.runFromSeeds(edges, queries, base, seeds, ef, rounds, metric)
       .filter(col("rnk") <= 10)
       .orderBy(col("qid"), col("rnk"))

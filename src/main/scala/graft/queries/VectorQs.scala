@@ -114,13 +114,21 @@ object VectorQs {
   val vNormalize = Q(
     "v_normalize",
     (s, dir) => {
+      // round 15: explode the RAW vector and divide after the Generate.
+      // The former unit = transform(v, x/sqrt(n2)) generator input was
+      // inlined by ExtractGenerator's implicit `size(unit)>0 AND
+      // isnotnull(unit)` filter with n2's fold nested INSIDE the
+      // transform lambda — an O(d²) interpreted-HOF evaluation, twice
+      // per input row (plans/r15/v_normalize_before.txt, Filter (2)).
+      // n2 now comes from the codegen VecDot kernel (spec-enforced
+      // bit-identical to the aggregate/zip_with fold) and u = x/sqrt(n2)
+      // is scalar codegen per output row — identical doubles out.
       Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), Vec.asD(col("embedding")).as("v"))
-        .withColumn("n2", Vec.norm2(col("v")))
-        .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
-        .select(col("vec_id"), sqrt(col("n2")).as("norm"),
-          posexplode(col("unit")).as(Seq("dim", "u")))
-        .select(col("vec_id"), col("norm"), col("dim"), col("u"))
+        .withColumn("n2", Vec.dotFast(col("v"), col("v")))
+        .select(col("vec_id"), col("n2"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), sqrt(col("n2")).as("norm"), col("dim"),
+          (col("x") / sqrt(col("n2"))).as("u"))
         .orderBy(col("vec_id"), col("dim"))
     },
     Some(s"""
@@ -371,20 +379,27 @@ object VectorQs {
   val vQuantize = Q(
     "v_quantize_int8",
     (s, dir) => {
-      // array-free output (VERDICT r1 item 3): explode qvec to
-      // (vec_id, dim, q) rows; array built in a Project pre-explode.
+      // array-free output (VERDICT r1 item 3): explode to (vec_id,
+      // dim, q) rows. Round 15: explode the RAW vector and quantize
+      // per exploded element — the former posexplode(qvec) generator
+      // input was re-inlined by ExtractGenerator's implicit size/
+      // isnotnull filter with `scale`'s array_max nested inside the
+      // transform lambda (the v_normalize O(d²) interpreted trap,
+      // plans/r15/v_normalize_before.txt). mean_abs_err keeps the same
+      // per-element arithmetic with q_i expanded in place — identical
+      // doubles, one O(d) evaluation per input row.
       val v = Vec.asD(col("embedding"))
-      val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+      def qOf(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(x / col("scale") + lit(0.5)).cast("int")
       Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), v.as("v"), scale.as("scale"))
-        .withColumn("qvec",
-          transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("int")))
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
         .withColumn("mean_abs_err",
-          Vec.fsum(zip_with(col("v"), col("qvec"),
-            (x, q) => abs(x - q * col("scale")))) / lit(64.0))
+          Vec.fsum(transform(col("v"),
+            x => abs(x - qOf(x) * col("scale")))) / lit(64.0))
         .select(col("vec_id"), col("scale"), col("mean_abs_err"),
-          posexplode(col("qvec")).as(Seq("dim", "q")))
-        .select(col("vec_id"), col("scale"), col("dim"), col("q"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("scale"), col("dim"), qOf(col("x")).as("q"),
           col("mean_abs_err"))
         .orderBy(col("vec_id"), col("dim"))
     },
