@@ -22,6 +22,7 @@ object JobProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.session("graft-profile", cpus)
     val jobs = ArrayBuffer[J]()
+    val stages = ArrayBuffer[(Int, Int, Long, String)]() // id, tasks, ms, name
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         def p(k: String) =
@@ -33,6 +34,13 @@ object JobProfile {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.find(_.id == e.jobId).foreach(_.t1 = System.nanoTime())
       }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        jobs.synchronized {
+          val si = e.stageInfo
+          val ms = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b)
+            .getOrElse(-1L)
+          stages += ((si.stageId, si.numTasks, ms, si.name.take(80)))
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     def clean(): Unit = {
@@ -42,7 +50,7 @@ object JobProfile {
     for (n <- names) {
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       clean()
-      jobs.synchronized { jobs.clear() }
+      jobs.synchronized { jobs.clear(); stages.clear() }
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -61,6 +69,8 @@ object JobProfile {
         }
         val jobSum = jobs.map(j => (j.t1 - j.t0) / 1e9).sum
         println(f"sum(jobs)=$jobSum%.3f gaps(driver)=$gapSum%.3f wall=$wall%.3f")
+        for ((id, nt, ms, nm) <- stages.sortBy(-_._3).take(12))
+          println(f"  stage $id%5d tasks=$nt%4d ms=$ms%6d  $nm%s")
       }
       clean()
     }

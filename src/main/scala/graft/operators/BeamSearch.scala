@@ -118,9 +118,14 @@ object BeamSearch {
     var beam = scoreOf(seedSet)
     for (_ <- 1 to rounds) {
       val frontier = beam.select(col("qid"), col("bid").as("src"))
+      // materialize the expansion once (round 15): the per-tag ledger
+      // count and the scoring pass below otherwise EACH recompute the
+      // frontier⋈edges join — the counted search paid every expand
+      // join twice. Checkpointed rows are identical; count and scores
+      // read the same materialized set.
       val expanded = frontier.join(edges, Seq("src"))
         .select(col("qid"), col("dst").as("bid"))
-        .distinct()
+        .distinct().localCheckpoint()
       addCounts(expanded)
       beam = TopK.perGroup(beam.union(scoreOf(expanded)), "qid", "bid", "dist", maxEf, asc = true)
         .filter(col("rnk") <= efOf(col("qid")))
@@ -157,9 +162,12 @@ object BeamSearch {
     var cand = seedSet.withColumn("fr", lit(0))
     for (r <- 1 to maxRounds) {
       val frontier = beam.select(col("qid"), col("bid").as("src"))
+      // materialized once (round 15): referenced by BOTH the ledger
+      // union and the scoring pass — the trace otherwise re-ran every
+      // expand join when candFirst materialized.
       val expanded = frontier.join(edges, Seq("src"))
         .select(col("qid"), col("dst").as("bid"))
-        .distinct()
+        .distinct().localCheckpoint()
       cand = cand.union(expanded.withColumn("fr", lit(r)))
       beam = TopK.perGroup(beam.union(scoreOf(expanded)), "qid", "bid", "dist", ef, asc = true)
         .select(col("qid"), col("bid"), col("dist")).localCheckpoint()
@@ -197,9 +205,14 @@ object BeamSearch {
     var beam = scoreOf(seedSet)
     for (_ <- 1 to rounds) {
       val frontier = beam.select(col("qid"), col("bid").as("src"))
-      val expanded = frontier.join(edges, Seq("src"))
+      val expanded0 = frontier.join(edges, Seq("src"))
         .select(col("qid"), col("dst").as("bid"))
         .distinct()
+      // counted searches materialize the expansion once (round 15):
+      // the ledger count and the scoring pass otherwise each recompute
+      // the expand join. Uncounted searches keep the lazy form (one
+      // consumer — no double compute to cut, no extra action).
+      val expanded = if (countVisited) expanded0.localCheckpoint() else expanded0
       if (countVisited) visited += expanded.count()
       val scoredNew = scoreOf(expanded)
       // no visited-set anti-join: revisited nodes score identically

@@ -231,11 +231,26 @@ object CurationQs {
         TextQs.qualityScore(col("text")).as("q"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("nm")))
       val canon = base.groupBy(col("nm")).agg(min(col("doc_id")).as("keep_id"))
-      val nearRemoved = DedupQs.dedupMinhashGroups.fn(s, dir)
-        .filter(col("member") =!= col("survivor_id"))
-        .select(col("member").as("doc_id"), lit(true).as("near_dup"))
-      val contam = TextQs2.contaminationHits(s, dir)
-        .select(col("doc_id"), lit(true).as("contam"))
+      // round 15 (guide §2.6): the near-dup verdict chain (minhash
+      // pairs → iterative label propagation, with its own internal
+      // actions) and the contamination chain (shingle overlap scan)
+      // are independent of each other and of the base/canon scoring —
+      // forked and materialized concurrently; the verdict join and
+      // every flag value are unchanged.
+      val (nearRemoved, contam) = graft.operators.Par.withPool { pp =>
+        val nearF = pp.fork {
+          DedupQs.dedupMinhashGroups.fn(s, dir)
+            .filter(col("member") =!= col("survivor_id"))
+            .select(col("member").as("doc_id"), lit(true).as("near_dup"))
+            .localCheckpoint()
+        }
+        val contamF = pp.fork {
+          TextQs2.contaminationHits(s, dir)
+            .select(col("doc_id"), lit(true).as("contam"))
+            .localCheckpoint()
+        }
+        (nearF(), contamF())
+      }
       val reason = when(col("doc_id") % 100 === 0, "benchmark_doc")
         .when(TextQs.langPredCol =!= "en", "lang")
         .when(col("q") < lit(QualityMin), "quality")
