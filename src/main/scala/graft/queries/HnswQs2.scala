@@ -335,14 +335,19 @@ object HnswQs2 {
           .join(rankTbl, Seq("rk"))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"))
-        def rescore(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = e
-          .join(nodes.select(col("bid").as("src"), col("bv").as("sv")), Seq("src"))
-          .join(nodes.select(col("bid").as("dst"), col("bv").as("dv")), Seq("dst"))
-          .select(col("src"), col("dst"), Vec.l2Fast(col("sv"), col("dv")).as("dist"))
         def keep(scored: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
           TopK.perGroup(scored.filter(col("src") =!= col("dst")),
             "src", "dst", "dist", k, asc = true)
-        var cur = keep(rescore(surv.union(rand)), ApproxPool)
+        // round 15: rescore+keep through the operators.Rescore kernel
+        // (bank branch under the 64 MiB cap, former join form above it
+        // — bit-identical, RescoreSpec); the level's bank is collected
+        // once and reused by every refinement round.
+        val dimL = Tables.embDim(s, dir)
+        val bankL = if (graft.operators.Rescore.fitsBank(nL, dimL))
+          Some(graft.operators.Rescore.broadcastBank(nodes)) else None
+        def rk(cand: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+          graft.operators.Rescore.keepK(cand, nodes, nL, dimL, k, bankL)
+        var cur = rk(surv.union(rand), ApproxPool)
           .select(col("src"), col("dst"), col("dist")).localCheckpoint()
         (1 to ApproxNonRounds).foreach { _ =>
           val und = cur.select(col("src"), col("dst"))
@@ -350,9 +355,9 @@ object HnswQs2 {
           val non = und.select(col("src"), col("dst").as("mid"))
             .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
             .select(col("src"), col("dst"))
-          // no distinct: duplicate candidates collapse in the TopKAgg
-          // pool (same contract as knn_descent's rounds)
-          cur = keep(rescore(und.union(non)), ApproxPool)
+          // no distinct: duplicate candidates collapse in the pool
+          // (same contract as knn_descent's rounds)
+          cur = rk(und.union(non), ApproxPool)
             .select(col("src"), col("dst"), col("dist")).localCheckpoint()
         }
         keep(cur.select(col("src"), col("dst"), col("dist")), K)

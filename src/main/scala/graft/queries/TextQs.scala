@@ -43,6 +43,9 @@ object TextQs {
           size(words(col("text"))).as("n_ws_tokens"),
           size(regexp_extract_all(lower(col("text")),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        // round 15: same pre-sort boundary as text_quality (the regex
+        // token pass is the query's whole cost — don't run it twice)
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -73,6 +76,12 @@ object TextQs {
           // the SHARED score expression (also the streaming filter's
           // predicate) — single source of truth for the formula
           qualityScore(col("text")).as("quality"))
+        // round 15: materialize before the sort — orderBy's range-
+        // partition SAMPLING pass otherwise re-runs the whole
+        // interpreted word-stats chain a second time (two ~0.39 s
+        // single-task stages measured at sf0.1; map-only plans have no
+        // shuffle stage for AQE to reuse). Narrow output rows only.
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     },
     Some {

@@ -145,18 +145,20 @@ object VectorQs4 {
             .cast("long"), lit(n)).as("dst"))
         .filter(col("src") =!= col("dst"))
         .join(emb.select(col("bid").as("dst")), Seq("dst"), "left_semi")
-      def rescore(edges: DataFrame): DataFrame =
-        edges
-          .join(emb.select(col("bid").as("src"), col("bv").as("sv")), Seq("src"))
-          .join(emb.select(col("bid").as("dst"), col("bv").as("dv")), Seq("dst"))
-          .select(col("src"), col("dst"), Vec.l2Fast(col("sv"), col("dv")).as("dist"))
-      def keepK(scored: DataFrame): DataFrame =
-        TopK.perGroup(
-          scored.filter(col("src") =!= col("dst")), "src", "dst", "dist", DescK, asc = true)
+      // round 15: the rescore+keep of each round runs through the
+      // operators.Rescore kernel — bank branch below the 64 MiB
+      // broadcast cap (one collect, reused across every round), the
+      // former join form verbatim above it; RescoreSpec proves the two
+      // branches bit-identical (duplicate pairs included).
+      val dim = Tables.embDim(s, dir)
+      val bank = if (graft.operators.Rescore.fitsBank(n, dim))
+        Some(graft.operators.Rescore.broadcastBank(emb)) else None
+      def keepK(cand: DataFrame): DataFrame =
+        graft.operators.Rescore.keepK(cand, emb, n, dim, DescK, bank)
           .select(col("src"), col("dst"), col("dist"))
       def witness(g: DataFrame): Long =
         g.agg(sum(floor(col("dist") * 1e6).cast("long"))).head().getLong(0)
-      var graph = keepK(rescore(init)).localCheckpoint()
+      var graph = keepK(init).localCheckpoint()
       var prev = witness(graph)
       var converged = false
       var round = 0
@@ -173,7 +175,7 @@ object VectorQs4 {
         // (score, id) entries and the TopKAgg pool collapses them —
         // a per-round distinct shuffle costs more than the re-scores
         val cand = fwd.union(rev).union(non)
-        graph = keepK(rescore(cand)).localCheckpoint()
+        graph = keepK(cand).localCheckpoint()
         val now = witness(graph)
         // 50 ppm relative tolerance: the last exact-convergence rounds
         // buy <0.1% recall each (measured 18 ppm at round 6, 4 ppm at
