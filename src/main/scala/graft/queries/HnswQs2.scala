@@ -272,6 +272,7 @@ object HnswQs2 {
         .filter(nodeFilter)
         .select(col("vec_id"), col("embedding"), HnswQs.levelCol(col("vec_id")).as("lvl"))
       val g0 = descentGraph(s, dir).select(col("src"), col("dst")).localCheckpoint()
+      val g0N = g0.count() // bounds each level's fused-init collect (15b gate)
       import s.implicits._
       // ~6 random in-level links per node need draws over a DENSE RANK
       // of each level's member set (global-sort rank → id), not the raw
@@ -343,10 +344,49 @@ object HnswQs2 {
         // — bit-identical, RescoreSpec); the level's bank is collected
         // once and reused by every refinement round.
         val dimL = Tables.embDim(s, dir)
-        val bankL = if (graft.operators.Rescore.fitsBank(nL, dimL))
-          Some(graft.operators.Rescore.broadcastBank(nodes)) else None
+        val R = graft.operators.Rescore
+        val bankL = if (R.fitsBank(nL, dimL)) Some(R.broadcastBank(nodes)) else None
+        // round 15b: fused round form (knn_descent's — one map-only job
+        // per round off a broadcast CSR, complete per-node pools, final
+        // top-K cut = pool truncation) when the level's edge lists are
+        // bounded: init ≤ |g0| + 6·nL pairs, rounds ≤ ApproxPool·nL.
+        // DescentFusedSpec proves the forms bit-identical.
+        if (bankL.isDefined && R.fitsFused(g0N + 6L * nL) &&
+            R.fitsFused(nL * ApproxPool)) {
+          val bk = bankL.get
+          val ids = bk.value.ids; val nI = ids.length
+          val initP = surv.union(rand)
+            .select(col("src"), col("dst")).as[(Long, Long)].collect()
+          val isrc = new Array[Int](initP.length)
+          val idst = new Array[Int](initP.length)
+          var m = 0
+          initP.foreach { case (a, b) =>
+            val ai = java.util.Arrays.binarySearch(ids, a)
+            val bi = java.util.Arrays.binarySearch(ids, b)
+            if (ai >= 0 && bi >= 0 && ai != bi) { isrc(m) = ai; idst(m) = bi; m += 1 }
+          }
+          var g = R.fusedRound(s, bk,
+            R.csrOf(nI, java.util.Arrays.copyOf(isrc, m), java.util.Arrays.copyOf(idst, m)),
+            null, ApproxPool)
+          (1 to ApproxNonRounds).foreach { _ =>
+            g = R.fusedRound(s, bk, R.csrOf(nI, g.src, g.dst), R.csrOf(nI, g.dst, g.src),
+              ApproxPool)
+          }
+          // keep(cur, K) over ApproxPool-deep rank-ordered pools is the
+          // K-prefix of each pool (strict (dist, id) order, no dups)
+          val rows = Seq.newBuilder[(Int, Long, Int, Long, Double)]
+          var i = 0; var prevSrc = -1; var r0 = 0
+          while (i < g.src.length) {
+            val sI = g.src(i)
+            if (sI != prevSrc) { prevSrc = sI; r0 = 0 }
+            r0 += 1
+            if (r0 <= K) rows += ((l, ids(sI), r0, ids(g.dst(i)), g.dist(i)))
+            i += 1
+          }
+          s.createDataset(rows.result()).toDF("level", "src", "rnk", "dst", "dist")
+        } else {
         def rk(cand: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
-          graft.operators.Rescore.keepK(cand, nodes, nL, dimL, k, bankL)
+          R.keepK(cand, nodes, nL, dimL, k, bankL)
         var cur = rk(surv.union(rand), ApproxPool)
           .select(col("src"), col("dst"), col("dist")).localCheckpoint()
         (1 to ApproxNonRounds).foreach { _ =>
@@ -363,6 +403,7 @@ object HnswQs2 {
         keep(cur.select(col("src"), col("dst"), col("dist")), K)
           .select(lit(l).as("level"), col("src"), col("rnk"), col("dst"), col("dist"))
           .localCheckpoint()
+        }
         } }.map(_())
       }.reduce(_.union(_))
         .orderBy(col("level"), col("src"), col("rnk"))

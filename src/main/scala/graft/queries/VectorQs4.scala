@@ -150,9 +150,66 @@ object VectorQs4 {
       // broadcast cap (one collect, reused across every round), the
       // former join form verbatim above it; RescoreSpec proves the two
       // branches bit-identical (duplicate pairs included).
+      // round 15b: when the round's EDGE LIST is itself bounded
+      // (n·DescK idx pairs inside the same budget — fitsFused), the
+      // whole round fuses into one map-only job: candidates generated
+      // per node from a broadcast CSR (no und⋈und shuffle), complete
+      // per-node pools (no merge), witness and next-round adjacency
+      // from the collected round output (no extra agg action).
+      // DescentFusedSpec proves the fused loop reproduces this join/
+      // kernel loop bit-for-bit, round count included.
       val dim = Tables.embDim(s, dir)
-      val bank = if (graft.operators.Rescore.fitsBank(n, dim))
-        Some(graft.operators.Rescore.broadcastBank(emb)) else None
+      val R = graft.operators.Rescore
+      val bank = if (R.fitsBank(n, dim)) Some(R.broadcastBank(emb)) else None
+      if (bank.isDefined && R.fitsFused(n * DescK)) {
+        import s.implicits._
+        val bk = bank.get
+        val ids = bk.value.ids
+        val nI = ids.length
+        val initP = init.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        val isrc = new Array[Int](initP.length)
+        val idst = new Array[Int](initP.length)
+        var m = 0
+        initP.foreach { case (a, b) =>
+          val ai = java.util.Arrays.binarySearch(ids, a)
+          val bi = java.util.Arrays.binarySearch(ids, b)
+          // inner-join semantics + the src =!= dst filter, in idx space
+          if (ai >= 0 && bi >= 0 && ai != bi) { isrc(m) = ai; idst(m) = bi; m += 1 }
+        }
+        def wit(e: R.IdxEdges): Long = {
+          // the SAME integer witness as the join form's
+          // sum(floor(dist·1e6) :: long), summed driver-side
+          var acc = 0L; var i = 0
+          while (i < e.dist.length) { acc += math.floor(e.dist(i) * 1e6).toLong; i += 1 }
+          acc
+        }
+        var g = R.fusedRound(s, bk,
+          R.csrOf(nI, java.util.Arrays.copyOf(isrc, m), java.util.Arrays.copyOf(idst, m)),
+          null, DescK)
+        var prev = wit(g)
+        var converged = false
+        var round = 0
+        while (!converged && round < DescMaxRounds) {
+          round += 1
+          g = R.fusedRound(s, bk, R.csrOf(nI, g.src, g.dst), R.csrOf(nI, g.dst, g.src), DescK)
+          val now = wit(g)
+          converged = prev - now < prev / 20000
+          prev = now
+        }
+        // pools arrive grouped by src idx (= id order) in (dist, id)
+        // rank order — rnk is the position, exactly the window below
+        val rows = Seq.newBuilder[(Long, Int, Long, Double)]
+        var i = 0; var prevSrc = -1; var r0 = 0
+        while (i < g.src.length) {
+          val sI = g.src(i)
+          if (sI != prevSrc) { prevSrc = sI; r0 = 0 }
+          r0 += 1
+          rows += ((ids(sI), r0, ids(g.dst(i)), g.dist(i)))
+          i += 1
+        }
+        s.createDataset(rows.result()).toDF("src", "rnk", "dst", "dist")
+          .orderBy(col("src"), col("rnk"))
+      } else {
       def keepK(cand: DataFrame): DataFrame =
         graft.operators.Rescore.keepK(cand, emb, n, dim, DescK, bank)
           .select(col("src"), col("dst"), col("dist"))
@@ -189,6 +246,7 @@ object VectorQs4 {
             .partitionBy(col("src")).orderBy(col("dist"), col("dst"))))
         .select(col("src"), col("rnk"), col("dst"), col("dist"))
         .orderBy(col("src"), col("rnk"))
+      }
     },
     None)
 
