@@ -411,3 +411,92 @@ case class CharGramsExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** All five stopword-profile ratios in ONE pass over the text — the
+  * lang_id / curate_corpus substrate (langScored). Tokens = split on
+  * single spaces with empties dropped (TextFns.words semantics);
+  * ratio_l = (#tokens ∈ stopwords(l)) · 1.0 / #tokens, 0.0 when there
+  * are no tokens — exactly ratioIn's arithmetic per language. The HOF
+  * form re-filtered the interpreted word array once per language
+  * (5 passes/row plus the split); this is one byte scan with a single
+  * hash lookup per token (languages may share stopwords — "la"/"de" —
+  * so the lookup yields a membership BITMASK, not one set hit).
+  * NULL text yields the all-0.0 row that `when(size(w) > 0, …)
+  * .otherwise(0.0)` produced on a null word array. Element order =
+  * sorted language keys (LangRatiosExpr.Langs). Evaluated once per
+  * row behind langScored's cache boundary, so CodegenFallback is fine
+  * (lesson 14). LangRatiosSpec pins bit-equality with the ratioIn HOF
+  * chain per language, edge cases included.
+  */
+case class LangRatiosExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import LangRatiosExpr._
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lang_ratios needs a string column, got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val counts = new Array[Int](NLangs)
+    var total = 0
+    if (v != null) {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var i = 0
+      var start = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == 0x20) {
+          if (i > start) {
+            total += 1
+            // transient zero-copy view: used only for the map lookup
+            val m = Mask.get(UTF8String.fromBytes(bytes, start, i - start))
+            if (m != null) {
+              var mm = m.intValue
+              var l = 0
+              while (mm != 0) {
+                if ((mm & 1) != 0) counts(l) += 1
+                mm >>>= 1; l += 1
+              }
+            }
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Any](NLangs)
+    var l = 0
+    while (l < NLangs) {
+      out(l) = if (total > 0) counts(l) * 1.0 / total else 0.0
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangRatiosExpr {
+  /** Sorted language keys — the array's element order. */
+  val Langs: IndexedSeq[String] = TextFns.stopwords.keys.toIndexedSeq.sorted
+  private val NLangs = Langs.length
+  /** token → bitmask of languages whose stopword set contains it. */
+  private val Mask: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    Langs.zipWithIndex.foreach { case (l, li) =>
+      TextFns.stopwords(l).foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue) | (1 << li)))
+      }
+    }
+    m
+  }
+}

@@ -112,12 +112,21 @@ object TextQs {
   private[queries] def langScored(
       s: SparkSession, dir: String,
       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
-    val w = words(lower(col("text")))
     val langs = stopwords.keys.toSeq.sorted
+    // round 15: ONE LangRatiosExpr kernel pass instead of 5 interpreted
+    // ratioIn filters over the word array (bit-identical per language —
+    // LangRatiosSpec). The kernel lands behind the cache; the r_*
+    // columns are O(1) element_at extractions of the cached array, so
+    // the fold's ~25 references per row stay cheap (lesson 8's boundary
+    // in the same place).
+    val bc = org.apache.spark.sql.graftbridge.Bridge
+    val rr = bc.column(graft.functions.LangRatiosExpr(bc.expr(lower(col("text")))))
     Tables.t(s, dir, "documents")
-      .select(Seq(col("doc_id"), col("lang")) ++ extra ++
-        langs.map(l => ratioIn(w, stopwords(l)).as(s"r_$l")): _*)
+      .select(Seq(col("doc_id"), col("lang")) ++ extra :+ rr.as("rr"): _*)
       .cache()
+      .select(col("*") +: langs.zipWithIndex.map { case (l, i) =>
+        element_at(col("rr"), i + 1).as(s"r_$l") }: _*)
+      .drop("rr")
   }
 
   /** The dominance-fold prediction over langScored's r_* columns; ties
