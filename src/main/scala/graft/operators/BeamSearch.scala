@@ -19,6 +19,10 @@ object BeamSearch {
     * @param entry   global entry node id (roar_entry_point)
     * @param ef      beam width per query
     * @param rounds  expansion rounds
+    * @param kernelInfo Some((baseN, dim)) lets the search run as ONE
+    *                fused kernel job when every bound holds
+    *                (BeamKernel — bit-identical, BeamKernelSpec);
+    *                None = the DataFrame rounds, unchanged
     * @return (qid, rnk, bid, dist) best-ef per query after expansion
     */
   def run(
@@ -27,9 +31,17 @@ object BeamSearch {
       base: DataFrame,
       entry: Long,
       ef: Int,
-      rounds: Int): DataFrame =
+      rounds: Int,
+      kernelInfo: Option[(Long, Int)] = None): DataFrame =
     runFromSeeds(edges, queries, base,
-      queries.select(col("qid")).withColumn("bid", lit(entry)), ef, rounds)
+      queries.select(col("qid")).withColumn("bid", lit(entry)), ef, rounds,
+      kernelInfo = kernelInfo)
+
+  private def kernelDf(s: org.apache.spark.sql.SparkSession,
+      k: BeamKernel.KernelOut): DataFrame = {
+    import s.implicits._
+    s.createDataset(k.rows.toIndexedSeq).toDF("qid", "rnk", "bid", "dist")
+  }
 
   /** Multi-entry variant (Idea-1023.md MEAR: several anchor seeds per
     * query instead of a single global entry point). `seeds` = (qid,
@@ -41,9 +53,16 @@ object BeamSearch {
       seeds: DataFrame,
       ef: Int,
       rounds: Int,
-      metric: String = "l2"): DataFrame =
-    runImpl(edges, queries, base, seeds, ef, rounds, countVisited = false,
-      metric = metric)._1
+      metric: String = "l2",
+      kernelInfo: Option[(Long, Int)] = None): DataFrame =
+    kernelInfo.flatMap { case (n, dim) =>
+      BeamKernel.tryRun(edges, queries, base, seeds, _ => ef, rounds, metric, n, dim)
+    } match {
+      case Some(k) => kernelDf(base.sparkSession, k)
+      case None =>
+        runImpl(edges, queries, base, seeds, ef, rounds, countVisited = false,
+          metric = metric)._1
+    }
 
   /** Same search, additionally returning the TOTAL number of scored
     * candidate rows (seeds + per-round distinct expansions) — the
@@ -58,10 +77,22 @@ object BeamSearch {
       seeds: DataFrame,
       ef: Int,
       rounds: Int,
-      metric: String = "l2"): (DataFrame, Long) = {
-    val r = runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true,
-      metric = metric)
-    (r._1, r._2)
+      metric: String = "l2",
+      kernelInfo: Option[(Long, Int)] = None): (DataFrame, Long) = {
+    kernelInfo.flatMap { case (n, dim) =>
+      BeamKernel.tryRun(edges, queries, base, seeds, _ => ef, rounds, metric, n, dim)
+    } match {
+      case Some(k) =>
+        // the DataFrame ledger verbatim: raw seed rows + Σ per-round
+        // per-query distinct-expansion sizes
+        val visited = k.seedRows.length.toLong +
+          k.expandedPerQuery.iterator.map(_._2).sum
+        (kernelDf(base.sparkSession, k), visited)
+      case None =>
+        val r = runImpl(edges, queries, base, seeds, ef, rounds, countVisited = true,
+          metric = metric)
+        (r._1, r._2)
+    }
   }
 
   /** One search, a snapshot after EVERY round: element r-1 is (top-ef
@@ -103,7 +134,25 @@ object BeamSearch {
       efOf: Column => Column,
       tagBase: Int,
       rounds: Int,
-      metric: String = "l2"): (DataFrame, Map[Int, Long]) = {
+      metric: String = "l2",
+      efOfId: Option[Long => Int] = None,
+      kernelInfo: Option[(Long, Int)] = None): (DataFrame, Map[Int, Long]) = {
+    (for {
+      (n, dim) <- kernelInfo
+      efId <- efOfId
+      k <- BeamKernel.tryRun(edges, queries, base, seeds, efId, rounds, metric, n, dim)
+    } yield {
+      // per-tag ledger verbatim: raw seed rows + per-query expansion
+      // sums, grouped by the tag decode (qids are non-negative, so
+      // % == pmod)
+      val visited = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      k.seedRows.foreach { case (q, _) => visited((q % tagBase).toInt) += 1L }
+      k.expandedPerQuery.foreach { case (q, e) => visited((q % tagBase).toInt) += e }
+      (kernelDf(base.sparkSession, k), visited.toMap)
+    }) match {
+      case Some(r) => return r
+      case None => ()
+    }
     val scoreOf: DataFrame => DataFrame = cand =>
       cand.join(base, Seq("bid"))
         .join(queries, Seq("qid"))

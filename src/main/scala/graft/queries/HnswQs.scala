@@ -201,7 +201,8 @@ object HnswQs {
         }
         (edgesF(), seedsF())
       }
-      BeamSearch.runFromSeeds(edges, queries, base, seeds, ef = 10, rounds = 3)
+      BeamSearch.runFromSeeds(edges, queries, base, seeds, ef = 10, rounds = 3,
+        kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
         .orderBy(col("qid"), col("rnk"))
     },
     // oracle (round 3): anchor quantizer via the SqlIvf unroll, anchor
@@ -480,7 +481,9 @@ object HnswQs {
       }.reduce(_ union _)
       val (resMulti, visMulti) = BeamSearch.runFromSeedsCountedByTag(
         multiEdges, qMulti, baseBv, seedsMulti,
-        maxEf = 10, efOf = _ => lit(10), tagBase = 16, rounds = 3)
+        maxEf = 10, efOf = _ => lit(10), tagBase = 16, rounds = 3,
+        efOfId = Some(_ => 10),
+        kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
       val topMulti = resMulti
         .select(expr("qid DIV 16").as("qid"), pmod(col("qid"), lit(16)).cast("int").as("tag"),
           col("bid"))
@@ -519,7 +522,9 @@ object HnswQs {
       }.reduce(_ union _)
       val (resWide, visWide) = BeamSearch.runFromSeedsCountedByTag(
         wideEdges, qWide, baseBv, seedsWide,
-        maxEf = 32, efOf = q => pmod(q, lit(64)), tagBase = 64, rounds = 5)
+        maxEf = 32, efOf = q => pmod(q, lit(64)), tagBase = 64, rounds = 5,
+        efOfId = Some(q => (q % 64).toInt),
+        kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
       val topWide = TopK.perGroup(resWide, "qid", "bid", "dist", 10, asc = true)
         .select(expr("qid DIV 64").as("qid"), pmod(col("qid"), lit(64)).cast("int").as("tag"),
           col("bid"))
@@ -627,7 +632,8 @@ object HnswQs {
       val seedsMD = q2d.select(col("qid")).withColumn("bid", lit(richEntry))
         .union(anchorRankedD.select(col("qid"), col("bid")))
       val (resMD, visMD) = BeamSearch.runFromSeedsCounted(
-        multiEdges, q2d, baseBv, seedsMD, ef = 10, rounds = 3)
+        multiEdges, q2d, baseBv, seedsMD, ef = 10, rounds = 3,
+        kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
       val topMD = resMD.select(col("qid"), col("bid")).localCheckpoint()
       val multiDHits = topMD.join(gtL2D, Seq("qid", "bid")).count()
       val multiDWallMs = (System.nanoTime() - multiDT0) / 1e6

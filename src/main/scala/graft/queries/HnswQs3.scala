@@ -756,7 +756,8 @@ object HnswQs3 {
       (e, sd, se)
     }
     val (res, visited) = BeamSearch.runFromSeedsCounted(
-      edges, queries, base, seeds, ef, rounds, metric)
+      edges, queries, base, seeds, ef, rounds, metric,
+      kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
     (res.filter(col("rnk") <= 10).orderBy(col("qid"), col("rnk")), visited, seedEvals)
   }
 
@@ -829,7 +830,8 @@ object HnswQs3 {
         .distinct()
       (e, sd)
     }
-    BeamSearch.runFromSeeds(edges, queries, base, seeds, ef, rounds, metric)
+    BeamSearch.runFromSeeds(edges, queries, base, seeds, ef, rounds, metric,
+      kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
       .filter(col("rnk") <= 10)
       .orderBy(col("qid"), col("rnk"))
   }

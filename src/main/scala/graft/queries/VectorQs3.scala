@@ -136,7 +136,8 @@ object VectorQs3 {
       // beam recall vs an arbitrary node at equal rounds
       val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("src")).head().getLong(0)
-      BeamSearch.run(edges, queries, base, entry, ef = 10, rounds = 3)
+      BeamSearch.run(edges, queries, base, entry, ef = 10, rounds = 3,
+        kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
         .orderBy(col("qid"), col("rnk"))
     },
     Some(s"""
