@@ -199,7 +199,20 @@ object BeamSearch {
       base: DataFrame,
       seeds: DataFrame,
       ef: Int,
-      maxRounds: Int): (Seq[DataFrame], DataFrame) = {
+      maxRounds: Int,
+      kernelInfo: Option[(Long, Int)] = None): (Seq[DataFrame], DataFrame) = {
+    kernelInfo.flatMap { case (n, dim) =>
+      BeamKernel.tryTrace(edges, queries, base, seeds, ef, maxRounds, n, dim)
+    } match {
+      case Some(t) =>
+        val s = base.sparkSession
+        import s.implicits._
+        val beams = t.beams.map(a =>
+          s.createDataset(a.toIndexedSeq).toDF("qid", "bid", "dist"))
+        val candFirst = s.createDataset(t.ledger.toIndexedSeq).toDF("qid", "bid", "fr")
+        return (beams, candFirst)
+      case None => ()
+    }
     val scoreOf: DataFrame => DataFrame = cand =>
       cand.join(base, Seq("bid"))
         .join(queries, Seq("qid"))

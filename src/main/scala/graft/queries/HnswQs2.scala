@@ -56,7 +56,8 @@ object HnswQs2 {
           val entry = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
             .orderBy(col("d").desc, col("src")).head().getLong(0)
           val seeds = queries.select(col("qid")).withColumn("bid", lit(entry))
-          BeamSearch.runTrace(edges, queries, base, seeds, Ef, Rounds)
+          BeamSearch.runTrace(edges, queries, base, seeds, Ef, Rounds,
+            kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
         }
         // the true NN per query (gt_topk_l2's rank-1 row, same tie-break)
         val gt1F = pp.fork {

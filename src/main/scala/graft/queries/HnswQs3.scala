@@ -71,7 +71,8 @@ object HnswQs3 {
     // final node carries down as the next layer's seed
     val perLayer = (HnswQs.MaxLevel to 1 by -1).map { l =>
       val el = layers.filter(col("level") === l).select(col("src"), col("dst"))
-      val (beams, candFirst) = BeamSearch.runTrace(el, queries, base, seeds, UpperEf, UpperRounds)
+      val (beams, candFirst) = BeamSearch.runTrace(el, queries, base, seeds, UpperEf, UpperRounds,
+        kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
       val fin = beams.last.select(col("qid"), col("bid"))
       val hops = beams.zipWithIndex.map { case (b, r) =>
           b.select(col("qid"), col("bid")).withColumn("r", lit(r))
@@ -88,7 +89,8 @@ object HnswQs3 {
     // layer-0 refinement: wide beam from the descent's landing node;
     // steps/visited use beam_steps_to_target's exact semantics
     val e0 = layers.filter(col("level") === 0).select(col("src"), col("dst"))
-    val (beams0, cand0) = BeamSearch.runTrace(e0, queries, base, seeds, L0Ef, L0Rounds)
+    val (beams0, cand0) = BeamSearch.runTrace(e0, queries, base, seeds, L0Ef, L0Rounds,
+      kernelInfo = Some((Tables.baseCount(s, dir), Tables.embDim(s, dir))))
     val gt1 = VectorQs.gtTopk(s, dir, "l2", 1).filter(col("rnk") === 1)
       .select(col("qid"), col("bid").as("target"))
     val found = beams0.zipWithIndex.map { case (b, r) =>

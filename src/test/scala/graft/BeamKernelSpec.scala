@@ -119,6 +119,32 @@ class BeamKernelSpec extends AnyFunSuite {
       s"per-tag ledgers diverged: $gotVis vs $refVis")
   }
 
+  test("fused trace == DataFrame runTrace (ledger exact, beams value-identical)") {
+    val (refBeams, refLedger) = BeamSearch.runTrace(
+      edges(), queries(), base(), seeds(), ef = 4, maxRounds = 3)
+    val (gotBeams, gotLedger) = BeamSearch.runTrace(
+      edges(), queries(), base(), seeds(), ef = 4, maxRounds = 3,
+      kernelInfo = Some((50L, dim)))
+    // the kernel branch actually fired: its beams are LocalRelations
+    assert(gotBeams.head.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.nodeName.contains("LocalRelation")), "kernel branch did not fire")
+    // candFirst roll-up (qid, bid → min fr) must be EXACT — it feeds
+    // visited counts
+    def ledgerCanon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("qid"), col("bid")).agg(min(col("fr")).as("fr"))
+        .orderBy(col("qid"), col("bid")).collect().map(_.toSeq).toSeq
+    assert(ledgerCanon(gotLedger) == ledgerCanon(refLedger))
+    // per-round beams: identical DISTINCT row sets (snapshot 0 of the
+    // DataFrame form carries duplicate seed ROWS; every consumer
+    // aggregates per (qid, bid), so sets are the value contract)
+    refBeams.zip(gotBeams).zipWithIndex.foreach { case ((r, g), i) =>
+      def c(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("bid"), col("dist")).distinct()
+          .orderBy(col("qid"), col("bid")).collect().map(_.toSeq).toSeq
+      assert(c(g) == c(r), s"beam snapshot $i diverged")
+    }
+  }
+
   test("gate falls back when an edge endpoint is outside the bank") {
     import spark.implicits._
     val badEdges = edges().union(Seq((5L, 99999L)).toDF("src", "dst"))
